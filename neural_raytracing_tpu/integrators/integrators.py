@@ -1,0 +1,307 @@
+"""Light-transport integrators.
+
+Behavioral parity: pytorch3d/pathtracer/integrators/integrators.py —
+  * Direct (:139-206): primary hit -> per-emitter-sample {light sample,
+    shadow/learned occlusion, bsdf eval, accumulate}; the ``training`` flag
+    gates the throughput (soft silhouette) computation
+  * Path (:275-354): multi-bounce with BSDF importance sampling; throughput
+    detached each bounce (stop_gradient) to bound memory
+  * Debug/Silhouette/Mask/Depth/LevelSurfaces/BasisBRDF/Illumination/
+    Luminance (:25-136): visual-debug integrators
+  * NeRFIntegrator (:243-257): training wrapper appending a sigmoid-able
+    alpha channel from the throughput logits; marks all pixels active
+  * NeRFReproduce (:260-267): delegates to a volume (NeRF) shape's forward
+
+The reference's data-dependent early exits (``if not active.any(): return``)
+become masked dataflow — semantically identical, required for jit.
+
+Interface: ``sample(scene, params, rays, key, training=...) ->
+(values [..., dims], active [...], Interaction)``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..interaction import Interaction
+from ..ops.math import normalize
+from ..scene import Scene, sample_emitter
+
+
+def _attach_aux(it: Interaction, aux: dict) -> Interaction:
+    if "nonnormalized_weights" in aux:
+        it = it._replace(nonnormalized_weights=aux["nonnormalized_weights"],
+                         normalized_weights=aux["normalized_weights"])
+    return it
+
+
+class Integrator:
+    max_depth: int = 2
+    russian_roulette_depth: int = 5
+
+    def dims(self) -> int:
+        raise NotImplementedError
+
+    def sample(self, scene, params, rays, key=None, training: bool = False):
+        raise NotImplementedError
+
+
+class Debug(Integrator):
+    """Shading normals mapped to [0, 1] colors."""
+
+    def dims(self):
+        return 3
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        it, active = scene.shape.intersect(params["shape"], rays, key=key,
+                                           primary=False)
+        result = jnp.where(active[..., None], (it.n + 1.0) / 2.0, 0.0)
+        return result, active, it
+
+
+class Silhouette(Integrator):
+    def dims(self):
+        return 1
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        it, active = scene.shape.intersect(params["shape"], rays, key=key,
+                                           primary=False)
+        return 1.0 - active[..., None].astype(jnp.float32), active, it
+
+
+class Mask(Integrator):
+    """Appends a hit-mask channel from a sub-integrator (GT mask renders)."""
+
+    def __init__(self, sub_integrator: Integrator):
+        self.sub_integrator = sub_integrator
+
+    def dims(self):
+        return self.sub_integrator.dims() + 1
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        result, active, it = self.sub_integrator.sample(scene, params, rays,
+                                                        key, training)
+        mask = jnp.where(active, 1.0, 0.0)
+        result = jnp.concatenate([result, mask[..., None]], axis=-1)
+        return result, jnp.ones_like(active), it
+
+
+class Depth(Integrator):
+    def __init__(self, empty_val: float = -1.0):
+        self.empty_val = empty_val
+
+    def dims(self):
+        return 1
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        it, active = scene.shape.intersect(params["shape"], rays, key=key,
+                                           primary=False)
+        results = jnp.where(active, it.t, self.empty_val)
+        return results[..., None], active, it
+
+
+class LevelSurfaces(Integrator):
+    """exp(-min sdf along ray): whole-image-space SDF visualization."""
+
+    def dims(self):
+        return 1
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        min_sdfs = scene.shape.level_surfaces(params["shape"], rays)
+        monochrome = jnp.exp(-jnp.maximum(min_sdfs, 1e-10))
+        active = jnp.ones(rays.shape[:-1], bool)
+        return monochrome[..., None], active, None
+
+
+class BasisBRDF(Integrator):
+    """Per-basis weight maps of a spatially-varying BSDF."""
+
+    def __init__(self, bsdf=None):
+        self.bsdf = bsdf  # defaults to scene.bsdf
+
+    def dims(self):
+        return len(self.bsdf.bsdfs) if self.bsdf is not None else -1
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        bsdf = self.bsdf if self.bsdf is not None else scene.bsdf
+        it, active = scene.shape.intersect(params["shape"], rays, key=key,
+                                           primary=False)
+        weights, _ = bsdf.normalized_weights(params["bsdf"], it.p)
+        results = jnp.where(active[..., None], weights, 0.0)
+        return results, active, it
+
+
+class Illumination(Integrator):
+    """Local light direction on the surface, as colors."""
+
+    def dims(self):
+        return 3
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        it, active = scene.shape.intersect(params["shape"], rays, key=key,
+                                           primary=False)
+        no_occ = scene.replace(occlusion="none")
+        ds, _ = sample_emitter(no_occ, params, it, key, active)
+        results = jnp.where(active[..., None],
+                            (normalize(it.to_local(ds.d)) + 1.0) / 2.0, 0.0)
+        return (1.0 + results) / 2.0, active, it
+
+
+class Luminance(Integrator):
+    """Light luminance arriving at the surface."""
+
+    def dims(self):
+        return 3
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        it, active = scene.shape.intersect(params["shape"], rays, key=key,
+                                           primary=False)
+        no_occ = scene.replace(occlusion="none")
+        ds, emitter_val = sample_emitter(no_occ, params, it, key, active)
+        r, g, b = (emitter_val[..., 0:1], emitter_val[..., 1:2],
+                   emitter_val[..., 2:3])
+        # parity: the reference's luminance formula (integrators.py:127-129)
+        lum = 0.2126 * r + 0.7152 * 0.0722 * b
+        results = jnp.where(active[..., None],
+                            jnp.broadcast_to(lum, ds.d.shape), 0.0)
+        return results, active, it
+
+
+class Direct(Integrator):
+    """Direct lighting with emitter sampling (the training integrator)."""
+
+    def __init__(self, emitter_samples: int = 1, training: bool = True):
+        self.emitter_samples = emitter_samples
+        self.training = training
+
+    def dims(self):
+        return 3
+
+    def sample(self, scene, params, rays, key=None, training: Optional[bool] = None):
+        training = self.training if training is None else training
+        ikey = ekey = None
+        if key is not None:
+            ikey, ekey = jax.random.split(key)
+
+        it, active = scene.shape.intersect(params["shape"], rays, key=ikey,
+                                           primary=training)
+        result = jnp.zeros(rays.shape[:-1] + (3,), jnp.float32)
+        for i in range(self.emitter_samples):
+            skey = None
+            if ekey is not None:
+                skey = jax.random.fold_in(ekey, i)
+            ds, emitter_val = sample_emitter(scene, params, it, skey, active)
+            active_emitted = active & (ds.pdf > 0)
+            wo = it.to_local(ds.d)
+            bsdf_val, bsdf_pdf, aux = scene.bsdf.eval_and_pdf(
+                params["bsdf"], it, wo, active_emitted)
+            it = _attach_aux(it, aux)
+            val = bsdf_val * emitter_val / self.emitter_samples
+            result = result + jnp.where(active_emitted[..., None], val, 0.0)
+        return result, active, it
+
+
+class Path(Integrator):
+    """Multi-bounce path tracing with BSDF importance sampling.
+
+    Parity notes (integrators.py:275-354): per-bounce emitter sampling; the
+    path throughput is stop-gradiented each bounce (the reference's
+    ``.detach()`` at :339-340); secondary intersections run with
+    ``primary=False`` (no silhouette throughput).
+    """
+
+    def __init__(self, max_depth: int = 2, training: bool = False):
+        self.max_depth = max_depth
+        self.training = training
+
+    def dims(self):
+        return 3
+
+    def sample(self, scene, params, rays, key=None, training: Optional[bool] = None):
+        training = self.training if training is None else training
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        ikey, key = jax.random.split(key)
+
+        it, active = scene.shape.intersect(params["shape"], rays, key=ikey,
+                                           primary=training)
+        original_active = active
+        first_it = it
+
+        throughput = jnp.ones(rays.shape[:-1] + (3,), jnp.float32)
+        result = jnp.zeros_like(throughput)
+        curr_it = it
+
+        for depth in range(self.max_depth):
+            ekey, bkey, nkey, key = jax.random.split(key, 4)
+
+            ds, emitter_val = sample_emitter(scene, params, curr_it, ekey,
+                                             active)
+            active_emitted = active & (ds.pdf > 0)
+            wo = curr_it.to_local(ds.d)
+            bsdf_val, _, _ = scene.bsdf.eval_and_pdf(params["bsdf"], curr_it,
+                                                     wo, active_emitted)
+            result = result + jnp.where(
+                active_emitted[..., None],
+                throughput * bsdf_val * emitter_val, 0.0)
+
+            if depth == self.max_depth - 1:
+                break
+
+            bs, bsdf_val = scene.bsdf.sample(params["bsdf"], curr_it, bkey,
+                                             active)
+            throughput = jnp.maximum(bsdf_val, 1e-10) * throughput
+            throughput = lax.stop_gradient(throughput)
+            active = active & jnp.any(throughput > 0, axis=-1)
+
+            new_rays = curr_it.spawn_rays(curr_it.from_local(bs.wo))
+            curr_it, hits = scene.shape.intersect(params["shape"], new_rays,
+                                                  key=nkey, primary=False)
+            active = active & hits
+
+        return result, original_active, first_it
+
+
+class NeRFIntegrator(Integrator):
+    """Training wrapper: appends the soft-silhouette alpha channel."""
+
+    def __init__(self, sub_integrator: Integrator, with_logits: bool = True):
+        self.sub_integrator = sub_integrator
+        self.with_logits = with_logits
+
+    def dims(self):
+        return self.sub_integrator.dims() + 1
+
+    def sample(self, scene, params, rays, key=None, training=True):
+        result, active, it = self.sub_integrator.sample(scene, params, rays,
+                                                        key, training)
+        alpha = it.throughput[..., None]
+        if self.with_logits:
+            alpha = jax.nn.sigmoid(alpha)
+        result = jnp.concatenate([result, alpha], axis=-1)
+        return result, jnp.ones_like(active), it
+
+
+class NeRFReproduce(Integrator):
+    """Delegates rendering to a volumetric (NeRF-family) shape."""
+
+    def dims(self):
+        return 3
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        result = scene.shape.volume_render(params["shape"], rays, key=key,
+                                           lights=scene.lights,
+                                           light_params=params.get("lights"))
+        active = jnp.ones(rays.shape[:-1], bool)
+        dummy = Interaction(p=rays[..., :3], t=jnp.zeros(rays.shape[:-1]))
+        return result, active, dummy
+
+
+def mis_weight(a: jax.Array, b: jax.Array) -> jax.Array:
+    a = a * a
+    b = jnp.maximum(jnp.square(b), 1e-7)
+    return jnp.where(a > 0, a / (a + b), 0.0)

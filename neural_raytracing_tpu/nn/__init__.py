@@ -1,0 +1,4 @@
+from .mlp import (
+    SkipConnMLP, TwoStageMLP, AutoDecoder, PartitionedAutoDecoder,
+    DensityEstimator, ACTIVATIONS, resolve_activation, linear,
+)

@@ -1,0 +1,6 @@
+from .analytic import Sphere, SphereCloud, quad_solve
+from .sdf import (
+    SDF, SphereSDF, RoundBoxSDF, CapsuleSDF, ParametricSDFSet, FunctionalSDF,
+    UNIT_SPHERE, sphere_sdf, box_sdf, capsule_sdf, prime,
+)
+from .nerf import PlainNeRF, PartialNeRF, NeRFLE, volumetric_integrate

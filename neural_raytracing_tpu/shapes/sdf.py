@@ -1,0 +1,357 @@
+"""Learnable signed-distance-field surfaces and the sphere-trace marcher.
+
+Behavioral parity: pytorch3d/pathtracer/shapes/sdfs.py —
+  * SphereSDF (:16-44): smooth-min of n learnable transformed spheres plus a
+    zero-initialized SkipConnMLP residual shift
+  * RoundBoxSDF (:48-68) / CapsuleSDF (:72-86) / ParametricSDFSet (:315-356)
+  * SDF marcher (:89-277):
+      - ``intersect``: a NO-GRAD sphere-trace (``lax.fori_loop`` under
+        ``stop_gradient`` — mirrors the reference's ``torch.no_grad`` march at
+        sdfs.py:118-131), then differentiable normals via ``jax.grad`` of the
+        sdf at the hit points (the IDR trick, sdfs.py:184-197) and a
+        differentiable soft-silhouette ``throughput`` logit from the minimum
+        sdf along ``throughput_steps`` samples (sdfs.py:232-249), with only
+        the final sdf evaluation carrying gradients
+      - ``intersect_test``: shadow march (sdfs.py:162-181)
+
+This gradient structure (no grad through the march, grad only at the hit /
+argmin point) is the reference's key memory trick and is reproduced exactly;
+under jit the stop_gradient march stores no residuals.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..interaction import Interaction
+from ..nn.mlp import SkipConnMLP
+from ..ops.math import normalize, smooth_min
+
+
+def sphere_sdf(p: jax.Array, radius: float = 1.0) -> jax.Array:
+    return jnp.linalg.norm(p, axis=-1) - radius
+
+
+def box_sdf(p: jax.Array, sizes) -> jax.Array:
+    q = jnp.abs(p) - sizes
+    return (jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+            + jnp.minimum(jnp.max(q, axis=-1), 0.0))
+
+
+def capsule_sdf(p: jax.Array, a, b, r) -> jax.Array:
+    pa = p - a
+    ba = b - a
+    h = jnp.clip(jnp.sum(pa * ba, axis=-1, keepdims=True)
+                 / jnp.sum(ba * ba, axis=-1, keepdims=True), 0.0, 1.0)
+    return jnp.linalg.norm(pa - ba * h, axis=-1) - r
+
+
+class FunctionalSDF:
+    """Wrap a plain ``p -> sdf`` function as a param-less SDF module."""
+
+    def __init__(self, fn: Callable):
+        self.fn = fn
+
+    def init(self, key=None):
+        return {}
+
+    def __call__(self, params, p):
+        return self.fn(p)
+
+
+UNIT_SPHERE = FunctionalSDF(sphere_sdf)
+
+
+class SphereSDF:
+    """Smooth-min of learnable transformed spheres + zero-init MLP residual."""
+
+    def __init__(self, n: int = 128, k: float = 32.0,
+                 mlp: Optional[SkipConnMLP] = None):
+        self.n = n
+        self.k = k
+        self.shift = mlp if mlp is not None else SkipConnMLP(
+            in_size=3, out=1, num_layers=8, hidden_size=128, freqs=32,
+            activation="softplus", init="zeros")
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "centers": 0.3 * jax.random.uniform(k1, (self.n, 3)) - 0.15,
+            "radii": 0.2 * jax.random.uniform(k2, (self.n,)) - 0.1,
+            "tfs": jnp.zeros((self.n, 3, 3), jnp.float32),
+            "shift": self.shift.init(k3),
+        }
+
+    def __call__(self, params: dict, p: jax.Array) -> jax.Array:
+        batches = p.shape[:-1]
+        flat = p.reshape(-1, 3)
+        tfs = params["tfs"] + jnp.eye(3, dtype=flat.dtype)
+        q = jnp.einsum("ijk,bk->ibj", tfs, flat) - params["centers"][:, None, :]
+        sd = jnp.linalg.norm(q, axis=-1) - params["radii"][:, None]
+        out = smooth_min(sd, k=self.k, axis=0).reshape(batches)
+        return out + self.shift(params["shift"], p)[..., 0]
+
+
+class RoundBoxSDF:
+    """Smooth-min of learnable rounded boxes (axis-aligned in local frames)."""
+
+    def __init__(self, n: int = 32, k: float = 16.0):
+        self.n = n
+        self.k = k
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "centers": 0.3 * jax.random.uniform(k1, (self.n, 3)) - 0.15,
+            "b": 0.2 * jax.random.uniform(k2, (self.n, 3)),
+            "radii": 0.2 * jax.random.uniform(k3, (self.n,)) - 0.1,
+            "tfs": jnp.zeros((self.n, 3, 3), jnp.float32),
+        }
+
+    def __call__(self, params: dict, p: jax.Array) -> jax.Array:
+        batches = p.shape[:-1]
+        flat = p.reshape(-1, 3)
+        tfs = params["tfs"] + jnp.eye(3, dtype=flat.dtype)
+        q = jnp.abs(jnp.einsum("ijk,bk->ibj", tfs, flat)
+                    - params["centers"][:, None, :]) - params["b"][:, None, :]
+        up = jnp.linalg.norm(jnp.maximum(q, 1e-7), axis=-1)
+        down = jnp.minimum(jnp.max(q, axis=-1), -1e-7)
+        return smooth_min(up + down, k=self.k, axis=0).reshape(batches)
+
+
+class CapsuleSDF:
+    """Smooth-min of learnable capsules."""
+
+    def __init__(self, n: int = 64, k: float = 16.0):
+        self.n = n
+        self.k = k
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "a": 0.1 * jax.random.uniform(k1, (self.n, 3)) - 0.05,
+            "b": 0.1 * jax.random.uniform(k2, (self.n, 3)) - 0.05,
+            "radii": 0.1 * jax.random.uniform(k3, (self.n,)) - 0.05,
+        }
+
+    def __call__(self, params: dict, p: jax.Array) -> jax.Array:
+        batches = p.shape[:-1]
+        flat = p.reshape(-1, 3)
+        pa = flat[None, :, :] - params["a"][:, None, :]
+        ba = (params["b"] - params["a"])[:, None, :]
+        h = jnp.clip(jnp.sum(pa * ba, axis=-1, keepdims=True)
+                     / jnp.sum(ba * ba, axis=-1, keepdims=True), 0.0, 1.0)
+        sd = (jnp.linalg.norm(pa - ba * h, axis=-1)
+              - params["radii"][:, None])
+        return smooth_min(sd, k=self.k, axis=0).reshape(batches)
+
+
+class ParametricSDFSet:
+    """Softmax-weighted union of sphere/box/capsule primitives."""
+
+    def __init__(self, num_shapes: int = 5, k: float = 32.0):
+        self.num_shapes = num_shapes
+        self.k = k
+
+    def init(self, key: jax.Array) -> dict:
+        ks = jax.random.split(key, 5)
+        n = self.num_shapes
+        return {
+            "offsets": jax.random.uniform(ks[0], (n, 3)) - 0.5,
+            "sph_rads": jax.random.uniform(ks[1], (n,)) * 0.3 + 0.1,
+            "box_sizes": jax.random.uniform(ks[2], (n, 3)) * 0.3 + 0.1,
+            "capsules": jax.random.uniform(ks[3], (n, 7)),
+            "descriptors": jax.random.uniform(ks[4], (n, 3)),
+        }
+
+    def __call__(self, params: dict, p: jax.Array) -> jax.Array:
+        batches = p.shape[:-1]
+        flat = p.reshape(-1, 3)
+        local = flat[None, :, :] - params["offsets"][:, None, :]  # [S, B, 3]
+        w = jax.nn.softmax(params["descriptors"], axis=-1)        # [S, 3]
+        caps = params["capsules"]
+        sdfs = jnp.stack([
+            jnp.linalg.norm(local, axis=-1) - params["sph_rads"][:, None],
+            box_sdf(local, params["box_sizes"][:, None, :]),
+            capsule_sdf(local, caps[:, None, 0:3], caps[:, None, 3:6],
+                        caps[:, None, 6]),
+        ], axis=-1)                                               # [S, B, 3]
+        per_shape = jnp.sum(w[:, None, :] * sdfs, axis=-1)
+        return smooth_min(per_shape, k=self.k, axis=0).reshape(batches)
+
+
+class SDF:
+    """Sphere-trace intersection driver around any sdf module.
+
+    The underlying module must expose ``init(key) -> params`` and
+    ``__call__(params, p[..., 3]) -> [...]``.
+    """
+
+    def __init__(self, sdf_module=UNIT_SPHERE, epsilon: float = 1e-3,
+                 max_steps: int = 32, dist: float = 2.2,
+                 throughput_steps: int = 128, alpha: float = 1000.0,
+                 warp: Optional[Callable] = None):
+        self.module = sdf_module
+        self.epsilon = epsilon
+        self.max_steps = max_steps
+        self.dist = dist
+        self.throughput_steps = throughput_steps
+        self.alpha = alpha
+        # optional point-space warp applied before the sdf (scene editing:
+        # bend/translate/scale compositions, test_nerf.py:59-103)
+        self.warp = warp
+
+    def init(self, key: jax.Array):
+        return self.module.init(key)
+
+    def sdf(self, params, p: jax.Array) -> jax.Array:
+        if self.warp is not None:
+            p = self.warp(p)
+        return self.module(params, p)
+
+    def with_warp(self, warp: Callable) -> "SDF":
+        """A view of this SDF with an extra point-space warp (editing API)."""
+        out = SDF(self.module, self.epsilon, self.max_steps, self.dist,
+                  self.throughput_steps, self.alpha, warp=warp)
+        return out
+
+    # ---- marching ----------------------------------------------------------
+
+    def _march(self, params, r_o, r_d, max_t):
+        """No-grad sphere trace. Returns (depths [...], hit mask [...])."""
+        batch = r_o.shape[:-1]
+        depths = jnp.zeros(batch, jnp.float32)
+        remaining = jnp.ones(batch, bool)
+        hit = jnp.zeros(batch, bool)
+
+        def body(_, carry):
+            depths, remaining, hit = carry
+            remaining = remaining & (depths < max_t)
+            dists = self.sdf(params, r_o + r_d * depths[..., None])
+            hits = remaining & (dists <= self.epsilon)
+            hit = hit | hits
+            remaining = remaining & ~hits
+            depths = jnp.where(remaining, depths + dists, depths)
+            return depths, remaining, hit
+
+        depths, _, hit = lax.fori_loop(0, self.max_steps, body,
+                                       (depths, remaining, hit))
+        return lax.stop_gradient(depths), lax.stop_gradient(hit)
+
+    def normals(self, params, p: jax.Array) -> jax.Array:
+        """Un-normalized SDF gradient at ``p`` (differentiable wrt params)."""
+        return jax.grad(lambda q: jnp.sum(self.sdf(params, q)))(p)
+
+    def throughput(self, params, r_o, r_d, key=None):
+        """Soft silhouette: min sdf along the ray, grad at the argmin only.
+
+        Returns (sdf value at the argmin point [...], best position [..., 3]).
+        """
+        steps = self.throughput_steps
+        jitter = 0.0
+        if key is not None:
+            jitter = jax.random.uniform(key, ()) * (2.0 / steps)
+        max_t = self.dist + jitter
+        step = max_t / steps
+
+        def scan_body(carry, i):
+            curr_min, idxs = carry
+            t = step * (i + 1).astype(jnp.float32)
+            sd = self.sdf(params, r_o + t * r_d)
+            idxs = jnp.where(sd < curr_min, i + 1, idxs)
+            curr_min = jnp.minimum(curr_min, sd)
+            return (curr_min, idxs), None
+
+        sd0 = self.sdf(params, r_o)
+        init = (sd0, jnp.zeros(sd0.shape, jnp.int32))
+        (curr_min, idxs), _ = lax.scan(
+            lambda c, i: scan_body(c, i), init, jnp.arange(steps))
+        idxs = lax.stop_gradient(idxs)
+        best_pos = r_o + (idxs.astype(jnp.float32) * step)[..., None] * r_d
+        best_pos = lax.stop_gradient(best_pos)
+        return self.sdf(params, best_pos), best_pos
+
+    # ---- Shape interface ---------------------------------------------------
+
+    def intersect(self, params, rays, key=None, max_t: float = 10.0,
+                  primary: bool = True, active=None):
+        r_o, r_d = rays[..., :3], rays[..., 3:]
+        depths, hit = self._march(params, r_o, r_d, max_t)
+        p = r_o + depths[..., None] * r_d
+
+        throughput = None
+        if primary:
+            min_sdf, _ = self.throughput(params, r_o, r_d, key=key)
+            throughput = -self.alpha * min_sdf
+
+        raw_normals = self.normals(params, p)
+        n = jnp.where(hit[..., None], normalize(raw_normals, eps=1e-6), 0.0)
+        p = p + n * (self.epsilon * 5.0)
+
+        it = Interaction(p=p, t=depths, throughput=throughput,
+                         raw_normals=raw_normals).with_normals(n)
+        it = it._replace(wi=it.to_local(-r_d))
+        return it, hit
+
+    def intersect_test(self, params, rays, max_t=10.0, active=None):
+        """True where the ray is NOT blocked before ``max_t`` (shadow test)."""
+        r_o, r_d = rays[..., :3], rays[..., 3:]
+        max_t = jnp.asarray(max_t)
+        batch = r_o.shape[:-1]
+        depths = jnp.full(batch, 1e2 * self.epsilon, jnp.float32)
+        remaining = jnp.ones(batch, bool)
+
+        def body(_, carry):
+            depths, remaining = carry
+            dists = self.sdf(params, r_o + r_d * depths[..., None])
+            hits = remaining & (dists < self.epsilon)
+            depths = jnp.where(remaining, depths + dists, depths)
+            remaining = remaining & ~hits
+            return depths, remaining
+
+        depths, remaining = lax.fori_loop(0, self.max_steps, body,
+                                          (depths, remaining))
+        out = (depths >= jnp.broadcast_to(max_t, batch)) | remaining
+        return lax.stop_gradient(out)
+
+    def level_surfaces(self, params, rays, steps: int = 128):
+        """Minimum sdf along each ray (LevelSurfaces debug integrator)."""
+        r_o, r_d = rays[..., :3], rays[..., 3:]
+        ts = jnp.linspace(0.0, self.dist, steps)
+
+        def body(carry, t):
+            sd = self.sdf(params, r_o + t * r_d)
+            return jnp.minimum(carry, sd), None
+
+        out, _ = lax.scan(body, jnp.full(r_o.shape[:-1], jnp.inf), ts)
+        return out
+
+
+def prime(sdf: SDF, params, known_sdf: Callable, key: jax.Array,
+          lr: float = 1e-4, iters: int = 2000, batch_size: int = 4096,
+          lo: float = -5.0, hi: float = 5.0):
+    """Regress a learned SDF onto a known one before training (sdfs.py:206-230)."""
+    import optax
+
+    opt = optax.adamw(lr, weight_decay=0.0)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        pkey, key = jax.random.split(key)
+        p = jax.random.uniform(pkey, (batch_size, 3), minval=lo, maxval=hi)
+        def loss_fn(params):
+            return jnp.mean(jnp.square(sdf.sdf(params, p) - known_sdf(p)))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, key, loss
+
+    loss = None
+    for _ in range(iters):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    return params, loss

@@ -1,0 +1,131 @@
+"""Tests for the neural blocks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_raytracing_tpu.nn import (
+    SkipConnMLP, TwoStageMLP, AutoDecoder, PartitionedAutoDecoder,
+    DensityEstimator,
+)
+
+
+class TestSkipConnMLP:
+    def test_shapes(self):
+        mlp = SkipConnMLP(in_size=3, out=4, num_layers=4, hidden_size=32,
+                          freqs=8)
+        params = mlp.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (5, 7, 3))
+        y = mlp(params, x)
+        assert y.shape == (5, 7, 4)
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_zero_init_returns_zero(self):
+        mlp = SkipConnMLP(in_size=3, out=1, init="zeros",
+                          activation="softplus")
+        params = mlp.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+        np.testing.assert_allclose(mlp(params, x), 0.0)
+
+    def test_latent_conditioning(self):
+        mlp = SkipConnMLP(in_size=2, out=3, latent_size=8, num_layers=3,
+                          hidden_size=16, freqs=4)
+        params = mlp.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (10, 2))
+        l1 = jnp.zeros((10, 8))
+        l2 = jnp.ones((10, 8))
+        y1, y2 = mlp(params, x, l1), mlp(params, x, l2)
+        assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+    def test_can_fit_simple_function(self):
+        import optax
+        mlp = SkipConnMLP(in_size=1, out=1, num_layers=3, hidden_size=32,
+                          freqs=8, sigma=4.0)
+        params = mlp.init(jax.random.PRNGKey(0))
+        opt = optax.adam(1e-3)
+        state = opt.init(params)
+        x = jnp.linspace(-1, 1, 256)[:, None]
+        y = jnp.sin(3 * x)
+
+        @jax.jit
+        def step(params, state):
+            def loss_fn(p):
+                return jnp.mean(jnp.square(mlp(p, x) - y))
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, state2 = opt.update(g, state)
+            return optax.apply_updates(params, updates), state2, loss
+
+        for _ in range(300):
+            params, state, loss = step(params, state)
+        assert float(loss) < 1e-2
+
+    def test_gradients_flow(self):
+        mlp = SkipConnMLP(in_size=3, out=1, num_layers=4, hidden_size=16,
+                          freqs=4)
+        params = mlp.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+        g = jax.grad(lambda p: jnp.sum(mlp(p, x)))(params)
+        # basis must receive NO gradient (stop_gradient parity with the
+        # reference's requires_grad_(False))
+        np.testing.assert_allclose(g["B"], 0.0)
+        # every linear layer weight must receive some gradient
+        assert float(jnp.abs(g["init"]["w"]).sum()) > 0
+        assert float(jnp.abs(g["out"]["w"]).sum()) > 0
+
+
+class TestTwoStageMLP:
+    def test_shapes(self):
+        mlp = TwoStageMLP(in_1=3, in_2=2, out=3, num_layers=2, hidden_size=16,
+                          freqs=4)
+        params = mlp.init(jax.random.PRNGKey(0))
+        a = jax.random.normal(jax.random.PRNGKey(1), (4, 6, 3))
+        b = jax.random.normal(jax.random.PRNGKey(2), (4, 6, 2))
+        y = mlp(params, a, b)
+        assert y.shape == (4, 6, 3)
+        assert np.isfinite(np.asarray(y)).all()
+
+
+class TestAutoDecoders:
+    def test_auto_decoder(self):
+        ad = AutoDecoder(in_size=3, out=2, num_layers=2, hidden_size=16,
+                         code_size=8, freqs=4)
+        params = ad.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (12, 3))
+        y = ad(params, x)
+        assert y.shape == (12, 2)
+
+    def test_partitioned(self):
+        pad = PartitionedAutoDecoder(in_size=3, out=2, num_layers=2,
+                                     hidden_size=16, code_size=8,
+                                     partition_size=4, freqs=4)
+        params = pad.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (12, 3))
+        y = pad(params, x)
+        assert y.shape == (12, 2)
+        flat, local = pad.partition(x)
+        assert (np.asarray(flat) >= 0).all()
+        assert (np.asarray(flat) < 4 ** 3).all()
+
+
+class TestDensityEstimator:
+    def test_sample_and_pdf(self):
+        de = DensityEstimator(dists=8)
+        params = de.init(jax.random.PRNGKey(0))
+        val, pdf = de.sample(params, jax.random.PRNGKey(1), (32,))
+        assert val.shape == (32, 2)
+        assert pdf.shape == (32,)
+        assert (np.asarray(pdf) >= 0).all()
+        p2 = de.pdf(params, val)
+        np.testing.assert_allclose(p2[..., 0], pdf, rtol=1e-4)
+
+    def test_pdf_integrates_to_one(self):
+        de = DensityEstimator(dists=4)
+        params = de.init(jax.random.PRNGKey(0))
+        # grid integrate over a wide box (components are near-standard
+        # normals at zero-init)
+        xs = jnp.linspace(-6, 6, 200)
+        gx, gy = jnp.meshgrid(xs, xs)
+        grid = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+        pdf = de.pdf(params, grid)[..., 0]
+        integral = float(jnp.sum(pdf)) * (12 / 200) ** 2
+        assert abs(integral - 1.0) < 0.02

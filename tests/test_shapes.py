@@ -1,0 +1,166 @@
+"""Shape intersection tests: analytic spheres and the SDF sphere tracer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_raytracing_tpu.shapes import (
+    SDF, Sphere, SphereCloud, SphereSDF, UNIT_SPHERE, FunctionalSDF,
+    sphere_sdf, prime,
+)
+
+
+def frontal_rays(n=64, z=3.0, spread=0.5):
+    """Rays looking down -z at a unit sphere at the origin."""
+    xs = jnp.linspace(-spread, spread, int(np.sqrt(n)))
+    gx, gy = jnp.meshgrid(xs, xs)
+    r_o = jnp.stack([gx, gy, jnp.full_like(gx, z)], axis=-1).reshape(-1, 3)
+    r_d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), r_o.shape)
+    return jnp.concatenate([r_o, r_d], axis=-1)
+
+
+class TestAnalyticSphere:
+    def test_hit_distance(self):
+        sphere = Sphere((0.0, 0.0, 0.0), 1.0)
+        rays = jnp.asarray([[0.0, 0, 3, 0, 0, -1.0]])
+        it, active = sphere.intersect({}, rays)
+        assert bool(active[0])
+        np.testing.assert_allclose(it.t, 2.0, atol=1e-5)
+        np.testing.assert_allclose(it.n, [[0, 0, 1.0]], atol=1e-5)
+
+    def test_miss(self):
+        sphere = Sphere((0.0, 0.0, 0.0), 1.0)
+        rays = jnp.asarray([[3.0, 0, 3, 0, 0, -1.0]])
+        _, active = sphere.intersect({}, rays)
+        assert not bool(active[0])
+
+    def test_behind_camera(self):
+        sphere = Sphere((0.0, 0.0, 0.0), 1.0)
+        rays = jnp.asarray([[0.0, 0, 3, 0, 0, 1.0]])  # pointing away
+        _, active = sphere.intersect({}, rays)
+        assert not bool(active[0])
+
+    def test_wi_is_local_up_for_head_on(self):
+        sphere = Sphere((0.0, 0.0, 0.0), 1.0)
+        rays = jnp.asarray([[0.0, 0, 3, 0, 0, -1.0]])
+        it, _ = sphere.intersect({}, rays)
+        # -r_d == n, so local wi should be +z
+        np.testing.assert_allclose(it.wi, [[0, 0, 1.0]], atol=1e-4)
+
+    def test_shadow_test(self):
+        sphere = Sphere((0.0, 0.0, 0.0), 1.0)
+        rays = jnp.asarray([
+            [0.0, 0, 3, 0, 0, -1.0],   # blocked
+            [0.0, 0, 3, 0, 0, 1.0],    # unblocked
+        ])
+        nb = sphere.intersect_test({}, rays, max_t=10.0)
+        assert not bool(nb[0]) and bool(nb[1])
+
+
+class TestSphereCloud:
+    def test_min_t_of_two(self):
+        cloud = SphereCloud([[0.0, 0, 0], [0.0, 0, 1.5]], 0.5)
+        rays = jnp.asarray([[0.0, 0, 4, 0, 0, -1.0]])
+        it, active = cloud.intersect({}, rays)
+        assert bool(active[0])
+        np.testing.assert_allclose(it.t, 2.0, atol=1e-5)  # hits z=2 sphere
+
+
+class TestSDFMarcher:
+    def test_unit_sphere_march_matches_analytic(self):
+        sdf = SDF(UNIT_SPHERE, max_steps=64)
+        rays = frontal_rays(16, z=2.0, spread=0.4)
+        it, active = sdf.intersect({}, rays, primary=False)
+        analytic = Sphere((0, 0, 0), 1.0)
+        it2, active2 = analytic.intersect({}, rays)
+        np.testing.assert_array_equal(np.asarray(active), np.asarray(active2))
+        hit = np.asarray(active)
+        np.testing.assert_allclose(np.asarray(it.t)[hit],
+                                   np.asarray(it2.t)[hit], atol=5e-3)
+        # normals agree
+        dots = np.sum(np.asarray(it.n)[hit] * np.asarray(it2.n)[hit], -1)
+        assert (dots > 0.999).all()
+
+    def test_throughput_sign(self):
+        sdf = SDF(UNIT_SPHERE, max_steps=64, dist=4.0)
+        rays = jnp.asarray([
+            [0.0, 0, 2, 0, 0, -1.0],   # hits: min sdf < 0 -> logits > 0
+            [0.0, 3.0, 2, 0, 0, -1.0], # misses: min sdf > 0 -> logits < 0
+        ])
+        it, active = sdf.intersect({}, rays, primary=True)
+        assert bool(active[0]) and not bool(active[1])
+        tp = np.asarray(it.throughput)
+        assert tp[0] > 0 and tp[1] < 0
+
+    def test_shadow_march(self):
+        sdf = SDF(UNIT_SPHERE, max_steps=64)
+        rays = jnp.asarray([
+            [0.0, 0, 3, 0, 0, -1.0],
+            [0.0, 0, 3, 0, 0, 1.0],
+        ])
+        nb = sdf.intersect_test({}, rays, max_t=10.0)
+        assert not bool(nb[0]) and bool(nb[1])
+
+    def test_gradients_flow_through_normals_and_throughput(self):
+        module = SphereSDF(n=8)
+        sdf = SDF(module, max_steps=16, throughput_steps=16)
+        params = sdf.init(jax.random.PRNGKey(0))
+        rays = frontal_rays(16, z=2.0, spread=0.3)
+
+        def loss_fn(params):
+            it, active = sdf.intersect(params, rays, primary=True)
+            return (jnp.sum(jnp.square(it.n)) + jnp.sum(it.throughput)
+                    + jnp.sum(it.p))
+
+        g = jax.grad(loss_fn)(params)
+        total = sum(float(jnp.abs(x).sum())
+                    for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
+
+    def test_march_depth_has_no_gradient(self):
+        module = SphereSDF(n=8)
+        sdf = SDF(module, max_steps=16)
+        params = sdf.init(jax.random.PRNGKey(0))
+        rays = frontal_rays(4, z=2.0, spread=0.2)
+
+        def t_sum(params):
+            it, _ = sdf.intersect(params, rays, primary=False)
+            return jnp.sum(it.t)
+
+        g = jax.grad(t_sum)(params)
+        total = sum(float(jnp.abs(x).sum())
+                    for x in jax.tree_util.tree_leaves(g))
+        assert total == 0.0
+
+    def test_normals_match_finite_differences(self):
+        module = SphereSDF(n=8)
+        sdf = SDF(module)
+        params = sdf.init(jax.random.PRNGKey(0))
+        p = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+        n = sdf.normals(params, p)
+        eps = 1e-3
+        for axis in range(3):
+            delta = jnp.zeros((1, 3)).at[0, axis].set(eps)
+            fd = (sdf.sdf(params, p + delta) - sdf.sdf(params, p - delta)) / (2 * eps)
+            np.testing.assert_allclose(n[:, axis], fd, atol=1e-2, rtol=1e-2)
+
+    def test_prime_fits_sphere(self):
+        module = SphereSDF(n=16)
+        sdf = SDF(module)
+        params = sdf.init(jax.random.PRNGKey(0))
+        # note: smooth_min's clamp saturates the sphere-set contribution at
+        # ~0.29, so far-field targets are carried by the MLP shift; keep the
+        # sample range tight and allow a loose threshold for a short run
+        params, loss = prime(sdf, params, sphere_sdf, jax.random.PRNGKey(1),
+                             lr=3e-3, iters=500, batch_size=512,
+                             lo=-1.5, hi=1.5)
+        assert float(loss) < 0.05
+
+    def test_warp_composition(self):
+        base = SDF(UNIT_SPHERE)
+        shifted = base.with_warp(lambda p: p - jnp.asarray([0.0, 0.0, 1.0]))
+        # sphere is now centered at +z: ray from z=4 hits at t=2
+        rays = jnp.asarray([[0.0, 0, 4, 0, 0, -1.0]])
+        it, active = shifted.intersect({}, rays, primary=False)
+        assert bool(active[0])
+        np.testing.assert_allclose(it.t, 2.0, atol=5e-3)
