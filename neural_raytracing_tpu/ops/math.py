@@ -90,8 +90,14 @@ def local_reflect(v: jax.Array) -> jax.Array:
 
 
 def eikonal_loss(grad: jax.Array) -> jax.Array:
-    """Mean squared deviation of ``||grad||`` from 1 (IDR surface regularizer)."""
-    return jnp.mean(jnp.square(jnp.linalg.norm(grad, axis=-1) - 1.0))
+    """Mean squared deviation of ``||grad||`` from 1 (IDR surface regularizer).
+
+    The norm clamps inside the sqrt: raw SDF gradients are exactly zero
+    where the truncated smooth_min saturates, and ``linalg.norm`` would
+    propagate NaN gradients from those points.
+    """
+    n = jnp.sqrt(jnp.maximum(jnp.sum(grad * grad, axis=-1), 1e-12))
+    return jnp.mean(jnp.square(n - 1.0))
 
 
 def mse2psnr(x: jax.Array) -> jax.Array:

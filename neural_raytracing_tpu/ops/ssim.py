@@ -25,15 +25,18 @@ MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_kernel(win_size: int, sigma: float):
-    coords = jnp.arange(win_size, dtype=jnp.float32) - win_size // 2
-    g = jnp.exp(-jnp.square(coords) / (2.0 * sigma * sigma))
-    return g / jnp.sum(g)
+    # cache NUMPY only: anything jnp built inside a jit trace must not be
+    # cached across traces (it would leak that trace's constant/tracer)
+    import numpy as np
+    coords = np.arange(win_size, dtype=np.float32) - win_size // 2
+    g = np.exp(-np.square(coords) / (2.0 * sigma * sigma))
+    return g / np.sum(g)
 
 
 def _gaussian_blur(x: jax.Array, win_size: int, sigma: float) -> jax.Array:
     """Separable 'valid' gaussian filter of an NCHW tensor, depthwise."""
     c = x.shape[1]
-    g = _gaussian_kernel(win_size, sigma).astype(x.dtype)
+    g = jnp.asarray(_gaussian_kernel(win_size, sigma), dtype=x.dtype)
     kh = jnp.tile(g.reshape(1, 1, win_size, 1), (c, 1, 1, 1))
     kw = jnp.tile(g.reshape(1, 1, 1, win_size), (c, 1, 1, 1))
     dn = ("NCHW", "OIHW", "NCHW")

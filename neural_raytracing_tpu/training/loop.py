@@ -1,0 +1,165 @@
+"""Training step and host loop.
+
+Behavioral parity: the reference's per-dataset harnesses share one skeleton
+(training_utils.py:211-300 ``train_nerf`` and siblings):
+  LossSampler picks N views -> build camera batch -> random crop ->
+  ``pathtrace_sample`` with NeRFIntegrator(sub) -> ``masked_loss``
+  (+ eikonal / regularizers) -> AdamW step -> periodic checkpoint/validation.
+
+TPU-first: the entire step — camera ray-gen, sphere trace, shading, loss,
+grads, optimizer update — is ONE jitted pure function with static crop
+shapes; the host loop only does view selection, crop-index RNG and data
+slicing.  The same step function is shard-mapped over a device mesh by
+``neural_raytracing_tpu.parallel`` (rays sharded over the view axis,
+params replicated, grads psum'd by jit autosharding).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..integrators import NeRFIntegrator
+from ..ops.losses import masked_loss
+from ..ops.math import eikonal_loss
+from ..render import _tile_positions
+from ..scene import Scene
+from .loss_sampler import LossSampler
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: object
+    step: jax.Array
+
+
+def default_extra_loss(it, got, exp, mask):
+    """Eikonal regularizer on the raw SDF gradients (nerf_synthetic.py:86-90)."""
+    if it.raw_normals is None:
+        return 0.0
+    return eikonal_loss(it.raw_normals)
+
+
+def build_step_fn(scene: Scene, integrator, optimizer, *, size: int,
+                  crop_size: int, bundle_size: int = 1,
+                  mask_weight: float = 15.0, tone_mapping: bool = False,
+                  with_ssim: bool = True, with_noise=False,
+                  extra_loss: Callable = default_extra_loss):
+    """The un-jitted ``(state, camera, uv, exp, mask, key) -> (state, aux)``.
+
+    ``exp``/``mask`` are the ``[N, S, S, 3]`` / ``[N, S, S]`` ground-truth
+    crop; ``uv`` the crop offset; ``camera`` a pytree camera batch.
+    """
+    import optax
+
+    train_integrator = NeRFIntegrator(integrator)
+
+    def loss_fn(params, camera, uv, exp, mask, key):
+        ckey, ikey = jax.random.split(key)
+        positions = _tile_positions(uv[0], uv[1], crop_size)
+        rays = camera.sample_positions(positions, key=ckey,
+                                       bundle_size=bundle_size, size=size,
+                                       with_noise=with_noise)
+        values, active, it = train_integrator.sample(scene, params, rays,
+                                                     key=ikey, training=True)
+        got = jnp.mean(values, axis=-2)                     # over bundle
+        throughput = jnp.mean(it.throughput, axis=-1)       # over bundle
+        loss = masked_loss(got[..., :3], exp, throughput, mask,
+                           mask_weight=mask_weight,
+                           tone_mapping=tone_mapping, with_ssim=with_ssim)
+        loss = loss + extra_loss(it, got, exp, mask)
+        return loss, (got, it)
+
+    def step(state: TrainState, camera, uv, exp, mask, key):
+        (loss, (got, it)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, camera, uv, exp, mask, key)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        return new_state, {"loss": loss, "got": got}
+
+    return step
+
+
+def make_train_step(scene: Scene, integrator, optimizer, donate: bool = True,
+                    **kwargs):
+    """Jitted single-host train step (see :func:`build_step_fn`)."""
+    step = build_step_fn(scene, integrator, optimizer, **kwargs)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def init_train_state(scene: Scene, optimizer, key) -> TrainState:
+    params = scene.init(key)
+    return TrainState(params, optimizer.init(params), jnp.int32(0))
+
+
+def rand_uv(rng: np.random.Generator, w: int, h: int, size: int):
+    return (int(rng.integers(0, w - size + 1)),
+            int(rng.integers(0, h - size + 1)))
+
+
+def train(scene: Scene, integrator, optimizer, state: TrainState,
+          make_camera: Callable, exp_imgs: np.ndarray, exp_masks: np.ndarray,
+          key, *, size: int, crop_size: int, iters: int, n_views: int = 3,
+          bundle_size: int = 1, mask_weight: float = 15.0,
+          tone_mapping: bool = False, with_ssim: bool = True,
+          extra_loss: Callable = default_extra_loss,
+          light_update: Optional[Callable] = None,
+          save_fn: Optional[Callable] = None, ckpt_freq: int = 0,
+          log_every: int = 100, log_fn: Callable = print,
+          seed: int = 0, step_fn=None):
+    """Generic host training loop shared by all dataset harnesses.
+
+    ``make_camera(idxs) -> camera pytree`` builds the view batch;
+    ``light_update(params, camera, idxs) -> params`` implements per-step
+    light moves (colocated-light training, colocate.py:109);
+    ``exp_imgs [V, H, W, 3]``, ``exp_masks [V, H, W]``.
+    Returns (state, losses).
+    """
+    if step_fn is None:
+        step_fn = make_train_step(
+            scene, integrator, optimizer, size=size, crop_size=crop_size,
+            bundle_size=bundle_size, mask_weight=mask_weight,
+            tone_mapping=tone_mapping, with_ssim=with_ssim,
+            extra_loss=extra_loss)
+
+    selector = LossSampler(len(exp_imgs))
+    rng = np.random.default_rng(seed)
+    losses = []
+    t0 = time.time()
+    rays_done = 0
+
+    for i in range(iters):
+        idxs = selector.sample(n=n_views)
+        camera = make_camera(idxs)
+        u, v = rand_uv(rng, size, size, crop_size)
+        exp = jnp.asarray(exp_imgs[idxs, u:u + crop_size, v:v + crop_size, :3])
+        mask = jnp.asarray(exp_masks[idxs, u:u + crop_size, v:v + crop_size])
+        key, skey = jax.random.split(key)
+        if light_update is not None:
+            state = state._replace(
+                params=light_update(state.params, camera, idxs))
+        state, aux = step_fn(state, camera,
+                             (jnp.float32(u), jnp.float32(v)), exp, mask,
+                             skey)
+        loss = float(aux["loss"])
+        if not np.isfinite(loss):
+            raise FloatingPointError(f"Unexpected NaN loss at step {i}")
+        losses.append(loss)
+        selector.update_idxs(idxs, loss)
+        rays_done += n_views * crop_size * crop_size * bundle_size
+
+        if log_every and (i % log_every) == 0:
+            dt = time.time() - t0
+            rps = rays_done / max(dt, 1e-9)
+            log_fn(f"step {i:6d} loss {loss:.5f} rays/s {rps:,.0f}")
+        if save_fn is not None and ckpt_freq and (i % ckpt_freq) == 0 and i:
+            save_fn(state, i)
+
+    return state, losses

@@ -1,0 +1,49 @@
+"""Shared helpers for the experiment scripts."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def force_cpu_if_requested(args):
+    if getattr(args, "cpu", False):
+        os.environ.setdefault("XLA_FLAGS",
+                              "--xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
+def save_image(path: str, img) -> None:
+    from PIL import Image
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arr = np.asarray(img)
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    arr = (np.clip(arr[..., :3], 0.0, 1.0) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def base_parser(desc: str) -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=desc)
+    ap.add_argument("--size", type=int, default=256, help="image size")
+    ap.add_argument("--iters", type=int, default=25_000)
+    ap.add_argument("--crop-size", type=int, default=80)
+    ap.add_argument("--n-views", type=int, default=6)
+    ap.add_argument("--outputs", type=str, default="outputs")
+    ap.add_argument("--models", type=str, default="models")
+    ap.add_argument("--load", action="store_true",
+                    help="resume from saved model artifacts")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (8 virtual devices)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--skip-test", action="store_true")
+    return ap

@@ -1,0 +1,95 @@
+"""NeRF-synthetic reconstruction (the flagship workload).
+
+Parity with scripts/nerf_synthetic.py in the reference: SDF(SphereSDF)
+surface + ComposeSpatialVarying(NeuralBSDF x 8, softplus) reflectance +
+LightField lighting + Direct integrator; AdamW with per-component LRs
+(surface 8e-5 / bsdf 8e-4 / light 8e-5); eikonal extra loss; crop 80,
+N=6 views/step; march 64 steps train / 256 test; then test-split eval.
+
+    python scripts/nerf_synthetic.py --data nerf_synthetic/lego --size 256
+"""
+
+import numpy as np
+
+from _common import base_parser, force_cpu_if_requested, save_image
+
+
+def build_scene(max_steps=64):
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
+    from neural_raytracing_tpu.lights import LightField
+    from neural_raytracing_tpu.shapes import SDF, SphereSDF
+
+    return nrt.Scene(
+        shape=SDF(SphereSDF(n=128), max_steps=max_steps,
+                  throughput_steps=128, dist=2.2),
+        bsdf=ComposeSpatialVarying(
+            [NeuralBSDF(activation="softplus") for _ in range(8)]),
+        lights=LightField())
+
+
+def main():
+    ap = base_parser(__doc__)
+    ap.add_argument("--data", type=str, required=True,
+                    help="dataset dir with transforms_{train,test}.json")
+    ap.add_argument("--dataset-name", type=str, default=None)
+    ap.add_argument("--surface-lr", type=float, default=8e-5)
+    ap.add_argument("--bsdf-lr", type=float, default=8e-4)
+    ap.add_argument("--light-lr", type=float, default=8e-5)
+    ap.add_argument("--test-max-steps", type=int, default=256)
+    args = ap.parse_args()
+    force_cpu_if_requested(args)
+
+    import jax
+    from neural_raytracing_tpu.cameras import NeRFCamera
+    from neural_raytracing_tpu.integrators import Direct
+    from neural_raytracing_tpu.training import (
+        evaluate, init_train_state, load_scene, make_optimizer, save_scene,
+        train,
+    )
+    from neural_raytracing_tpu.training.datasets import load_nerf_synthetic
+
+    name = args.dataset_name or args.data.rstrip("/").split("/")[-1]
+    print(f"{name}, Size: {args.size}, Iters: {args.iters}")
+    data = load_nerf_synthetic(args.data, args.size, "train")
+
+    scene = build_scene(max_steps=64)
+    opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
+                          "lights": args.light_lr})
+    state = init_train_state(scene, opt, jax.random.PRNGKey(args.seed))
+    model_dir = f"{args.models}/{name}"
+    if args.load:
+        state = state._replace(params=load_scene(model_dir, state.params))
+
+    c2ws = data.cam_to_worlds
+
+    def make_camera(idxs):
+        return NeRFCamera(cam_to_world=c2ws[np.asarray(idxs)],
+                          focal=data.focal)
+
+    if args.iters > 0:
+        state, _ = train(
+            scene, Direct(training=True), opt, state, make_camera,
+            data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
+            size=args.size, crop_size=args.crop_size, iters=args.iters,
+            n_views=args.n_views, log_every=args.log_every,
+            save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
+            ckpt_freq=max(args.iters // 5 - 1, 1))
+        save_scene(model_dir, state.params, step=args.iters)
+
+    if not args.skip_test:
+        print("Running on test set")
+        test = load_nerf_synthetic(args.data, args.size, "test")
+        test_scene = build_scene(max_steps=args.test_max_steps)
+        evaluate(
+            test_scene, state.params,
+            lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],
+                                 focal=test.focal),
+            test.images, Direct(training=False),
+            size=args.size, chunk_size=min(args.size, 128),
+            save_fn=lambda i, im: save_image(
+                f"{args.outputs}/test_{name}_{i:03}.png", im))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Data-parallel sharding: 1-device vs 8-device step equivalence."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neural_raytracing_tpu as nrt
+from neural_raytracing_tpu.bsdf import Diffuse
+from neural_raytracing_tpu.cameras import (
+    FoVPerspectiveCamera, look_at_view_transform,
+)
+from neural_raytracing_tpu.integrators import Direct
+from neural_raytracing_tpu.lights import PointLights
+from neural_raytracing_tpu.nn import SkipConnMLP
+from neural_raytracing_tpu.parallel import (
+    make_mesh, make_parallel_train_step, replicate, shard_batch,
+)
+from neural_raytracing_tpu.shapes import SDF, SphereSDF
+from neural_raytracing_tpu.training import init_train_state, make_optimizer
+
+
+def tiny_scene():
+    sdf = SDF(SphereSDF(n=8, mlp=SkipConnMLP(
+        in_size=3, out=1, num_layers=2, hidden_size=16, freqs=4,
+        activation="softplus", init="zeros")),
+        max_steps=8, throughput_steps=8)
+    return nrt.Scene(shape=sdf, bsdf=Diffuse(),
+                     lights=PointLights(location=(0.0, 1.0, 4.0), scale=50.0))
+
+
+def build(n_views):
+    scene = tiny_scene()
+    opt = make_optimizer({"shape": 1e-3, "bsdf": 1e-3, "lights": 1e-3})
+    state = init_train_state(scene, opt, jax.random.PRNGKey(0))
+    r, t = look_at_view_transform(dist=2.0,
+                                  elev=np.linspace(0, 30, n_views),
+                                  azim=np.linspace(-45, 45, n_views))
+    camera = FoVPerspectiveCamera(R=r, T=t)
+    exp = jnp.zeros((n_views, 16, 16, 3))
+    mask = jnp.ones((n_views, 16, 16))
+    return scene, opt, state, camera, exp, mask
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestDataParallel:
+    def test_1_vs_8_device_step_matches(self):
+        n_views = 8
+        scene, opt, state, camera, exp, mask = build(n_views)
+        uv = (jnp.float32(8.0), jnp.float32(8.0))
+        key = jax.random.PRNGKey(1)
+
+        # single-device step
+        mesh1 = make_mesh(1)
+        step1 = make_parallel_train_step(scene, Direct(training=True), opt,
+                                         mesh1, n_views=n_views, size=32,
+                                         crop_size=16)
+        s1, aux1 = step1(replicate(state, mesh1),
+                         shard_batch(camera, mesh1, n_views), uv,
+                         shard_batch(exp, mesh1, n_views),
+                         shard_batch(mask, mesh1, n_views), key)
+
+        # 8-device step, same inputs
+        mesh8 = make_mesh(8)
+        step8 = make_parallel_train_step(scene, Direct(training=True), opt,
+                                         mesh8, n_views=n_views, size=32,
+                                         crop_size=16)
+        s8, aux8 = step8(replicate(state, mesh8),
+                         shard_batch(camera, mesh8, n_views), uv,
+                         shard_batch(exp, mesh8, n_views),
+                         shard_batch(mask, mesh8, n_views), key)
+
+        np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
+    def test_input_sharding_is_distributed(self):
+        n_views = 8
+        scene, opt, state, camera, exp, mask = build(n_views)
+        mesh8 = make_mesh(8)
+        sharded = shard_batch(exp, mesh8, n_views)
+        # each device should hold 1/8 of the view axis
+        assert len(sharded.sharding.device_set) == 8
+
+    def test_dryrun_multichip(self):
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
