@@ -187,19 +187,34 @@ def bench_torch_cpu(steps: int = 1, warmup: int = 1) -> float:
 
 
 def main():
+    import os
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--torch-steps", type=int, default=2)
+    ap.add_argument("--torch-steps", type=int, default=1)
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
 
     value = bench_jax(args.steps)
 
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_baseline.json")
+    baseline = None
+    if not args.no_cache and os.path.exists(cache):
+        baseline = json.load(open(cache)).get("torch_cpu_rays_per_sec")
     if args.skip_torch:
-        baseline = None
-        vs = 0.0
+        vs = 0.0 if baseline is None else value / baseline
     else:
-        baseline = bench_torch_cpu(args.torch_steps)
+        if baseline is None:
+            # one torch-cpu step at equal sample counts (~80 s); cached so
+            # subsequent runs skip it
+            baseline = bench_torch_cpu(args.torch_steps, warmup=0)
+            with open(cache, "w") as f:
+                json.dump({"torch_cpu_rays_per_sec": baseline,
+                           "rays_per_step": RAYS_PER_STEP,
+                           "march_steps": MARCH_STEPS,
+                           "throughput_steps": THROUGHPUT_STEPS}, f)
         vs = value / baseline
 
     print(json.dumps({

@@ -297,9 +297,12 @@ class ComposeSpatialVarying:
     def __init__(self, bsdfs: Sequence, sp_var_fn: Optional[SkipConnMLP] = None,
                  preprocess: Callable = identity):
         self.bsdfs = tuple(bsdfs)
-        self.sp_var_fn = sp_var_fn if sp_var_fn is not None else SkipConnMLP(
-            in_size=3, out=len(self.bsdfs), num_layers=16, hidden_size=256,
-            freqs=128, sigma=128.0, init="xavier")
+        if sp_var_fn is None:
+            from ..kernels.fused_mlp import FusedSkipConnMLP
+            sp_var_fn = FusedSkipConnMLP(
+                in_size=3, out=len(self.bsdfs), num_layers=16,
+                hidden_size=256, freqs=128, sigma=128.0, init="xavier")
+        self.sp_var_fn = sp_var_fn
         self.preprocess = preprocess
 
     def init(self, key) -> dict:
@@ -382,8 +385,11 @@ class NeuralBSDF:
     """Single neural lobe: MLP(rusin(wi, wo)) -> RGB, cos-hemisphere sampling."""
 
     def __init__(self, activation="sigmoid", mlp: Optional[SkipConnMLP] = None):
-        self.mlp = mlp if mlp is not None else SkipConnMLP(
-            in_size=3, out=3, num_layers=6, hidden_size=96, freqs=64)
+        if mlp is None:
+            from ..kernels.fused_mlp import FusedSkipConnMLP
+            mlp = FusedSkipConnMLP(in_size=3, out=3, num_layers=6,
+                                   hidden_size=96, freqs=64)
+        self.mlp = mlp
         self.act = resolve_activation(activation)
         self.zeroed = False
 

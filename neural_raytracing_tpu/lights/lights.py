@@ -122,8 +122,11 @@ class LightField:
     """Learned 5D light field: MLP(x) -> direction * magnitude, learned RGB."""
 
     def __init__(self, mlp: Optional[SkipConnMLP] = None):
-        self.mlp = mlp if mlp is not None else SkipConnMLP(
-            in_size=3, out=3, num_layers=10, hidden_size=256)
+        if mlp is None:
+            from ..kernels.fused_mlp import FusedSkipConnMLP
+            mlp = FusedSkipConnMLP(in_size=3, out=3, num_layers=10,
+                                   hidden_size=256)
+        self.mlp = mlp
 
     def init(self, key: jax.Array) -> dict:
         return {

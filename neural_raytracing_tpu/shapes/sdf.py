@@ -74,9 +74,12 @@ class SphereSDF:
                  mlp: Optional[SkipConnMLP] = None):
         self.n = n
         self.k = k
-        self.shift = mlp if mlp is not None else SkipConnMLP(
-            in_size=3, out=1, num_layers=8, hidden_size=128, freqs=32,
-            activation="softplus", init="zeros")
+        if mlp is None:
+            from ..kernels.fused_mlp import FusedSkipConnMLP
+            mlp = FusedSkipConnMLP(
+                in_size=3, out=1, num_layers=8, hidden_size=128, freqs=32,
+                activation="softplus", init="zeros")
+        self.shift = mlp
 
     def init(self, key: jax.Array) -> dict:
         k1, k2, k3 = jax.random.split(key, 3)

@@ -1,0 +1,96 @@
+"""DTU multi-view reconstruction with unknown lighting.
+
+Parity with scripts/dtu.py in the reference: DTU images+masks with
+cameras.npz (world_mat * scale_mat decomposed to pose+intrinsics, poses
+normalized into the unit sphere); SDF surface + ComposeSpatialVarying
+BSDF + learned LightField; every-10th-view test split; crop 96.
+
+    python scripts/dtu.py --data DTU/scan97 --size 200
+"""
+
+import numpy as np
+
+from _common import base_parser, force_cpu_if_requested, save_image
+
+
+def build_scene(max_steps=64, n_bases=6):
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
+    from neural_raytracing_tpu.lights import LightField
+    from neural_raytracing_tpu.shapes import SDF, SphereSDF
+
+    return nrt.Scene(
+        shape=SDF(SphereSDF(n=128), max_steps=max_steps,
+                  throughput_steps=128, dist=2.2),
+        bsdf=ComposeSpatialVarying(
+            [NeuralBSDF(activation="softplus") for _ in range(n_bases)]),
+        lights=LightField())
+
+
+def main():
+    ap = base_parser(__doc__)
+    ap.add_argument("--data", type=str, required=True)
+    ap.add_argument("--surface-lr", type=float, default=8e-5)
+    ap.add_argument("--bsdf-lr", type=float, default=8e-4)
+    ap.add_argument("--light-lr", type=float, default=8e-5)
+    ap.add_argument("--test-every", type=int, default=10,
+                    help="every k-th view is held out (dtu.py:115-121)")
+    ap.set_defaults(size=200, crop_size=96, n_views=3)
+    args = ap.parse_args()
+    force_cpu_if_requested(args)
+
+    import jax
+    from neural_raytracing_tpu.cameras import DTUCamera
+    from neural_raytracing_tpu.integrators import Direct
+    from neural_raytracing_tpu.training import (
+        evaluate, init_train_state, load_scene, make_optimizer, save_scene,
+        train,
+    )
+    from neural_raytracing_tpu.training.datasets import load_dtu
+
+    name = args.data.rstrip("/").split("/")[-1]
+    data = load_dtu(args.data, args.size)
+    n = len(data.images)
+    test_idx = np.arange(0, n, args.test_every)
+    train_idx = np.asarray([i for i in range(n) if i not in set(test_idx)])
+    src = np.asarray(data.src_size, np.float32)
+
+    scene = build_scene()
+    opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
+                          "lights": args.light_lr})
+    state = init_train_state(scene, opt, jax.random.PRNGKey(args.seed))
+    model_dir = f"{args.models}/dtu_{name}"
+    if args.load:
+        state = state._replace(params=load_scene(model_dir, state.params))
+
+    def make_camera(idxs):
+        idxs = np.asarray(idxs)
+        return DTUCamera(pose=data.poses[idxs],
+                         intrinsic=data.intrinsics[idxs], src_size=src)
+
+    if args.iters > 0:
+        state, _ = train(
+            scene, Direct(training=True), opt, state,
+            lambda idxs: make_camera(train_idx[np.asarray(idxs)]),
+            data.images[train_idx], data.masks[train_idx],
+            jax.random.PRNGKey(args.seed + 1), size=args.size,
+            crop_size=args.crop_size, iters=args.iters,
+            n_views=args.n_views, log_every=args.log_every,
+            save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
+            ckpt_freq=max(args.iters // 5 - 1, 1))
+        save_scene(model_dir, state.params, step=args.iters)
+
+    if not args.skip_test:
+        test_scene = build_scene(max_steps=128)
+        evaluate(
+            test_scene, state.params,
+            lambda i: make_camera([test_idx[i]]),
+            data.images[test_idx], Direct(training=False),
+            size=args.size, chunk_size=min(args.size, 100),
+            masks=data.masks[test_idx],
+            save_fn=lambda i, im: save_image(
+                f"{args.outputs}/dtu_{name}_test_{i:02}.png", im))
+
+
+if __name__ == "__main__":
+    main()

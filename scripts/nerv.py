@@ -1,0 +1,116 @@
+"""NeRV dataset training (armadillo/hotdogs) with per-frame point lights.
+
+Parity with scripts/nerv.py in the reference: transforms_train.json with a
+``light_loc`` per frame; SDF + ComposeSpatialVarying(NeuralBSDF x 7) +
+learnable PointLights whose location is set per-step from the frame's
+light; learned-occlusion emitter sampling; tone-mapped loss
+(train_nerv_ptl, training_utils.py:686-789); dual test with soft
+(occ-MLP) vs hard shadows (nerv.py:175-199).
+
+    python scripts/nerv.py --data nerv/armadillo --size 200
+"""
+
+import numpy as np
+
+from _common import base_parser, force_cpu_if_requested, save_image
+
+
+def build_scene(max_steps=64, dist=2.2, occlusion="learned"):
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.shapes import SDF, SphereSDF
+
+    return nrt.Scene(
+        shape=SDF(SphereSDF(n=128), max_steps=max_steps,
+                  throughput_steps=128, dist=dist),
+        bsdf=ComposeSpatialVarying(
+            [NeuralBSDF(activation="softplus") for _ in range(7)]),
+        lights=PointLights(scale=100.0),
+        occlusion=occlusion)
+
+
+def main():
+    ap = base_parser(__doc__)
+    ap.add_argument("--data", type=str, required=True)
+    ap.add_argument("--surface-lr", type=float, default=8e-5)
+    ap.add_argument("--bsdf-lr", type=float, default=8e-4)
+    ap.add_argument("--light-lr", type=float, default=8e-5)
+    ap.add_argument("--dist", type=float, default=2.2)
+    ap.set_defaults(size=200, crop_size=64, n_views=3)
+    args = ap.parse_args()
+    force_cpu_if_requested(args)
+
+    import jax
+    import jax.numpy as jnp
+    from neural_raytracing_tpu.cameras import NeRFCamera
+    from neural_raytracing_tpu.integrators import Direct
+    from neural_raytracing_tpu.training import (
+        evaluate, init_train_state, load_scene, make_optimizer, save_scene,
+        train,
+    )
+    from neural_raytracing_tpu.training.datasets import load_nerv
+
+    name = args.data.rstrip("/").split("/")[-1]
+    data = load_nerv(args.data, args.size, "train")
+
+    scene = build_scene(dist=args.dist)
+    opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
+                          "lights": args.light_lr, "occ": args.bsdf_lr})
+    state = init_train_state(scene, opt, jax.random.PRNGKey(args.seed))
+    model_dir = f"{args.models}/nerv_{name}"
+    if args.load:
+        state = state._replace(params=load_scene(model_dir, state.params))
+
+    def make_camera(idxs):
+        return NeRFCamera(cam_to_world=data.cam_to_worlds[np.asarray(idxs)],
+                          focal=data.focal)
+
+    def light_update(params, camera, idxs):
+        # per-frame point light location (train_nerv_ptl)
+        params = dict(params)
+        params["lights"] = dict(
+            params["lights"],
+            location=jnp.asarray(data.light_locs[np.asarray(idxs)]))
+        return params
+
+    if args.iters > 0:
+        state, _ = train(
+            scene, Direct(training=True), opt, state, make_camera,
+            data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
+            size=args.size, crop_size=args.crop_size, iters=args.iters,
+            n_views=args.n_views, tone_mapping=True,
+            light_update=light_update, log_every=args.log_every,
+            save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
+            ckpt_freq=max(args.iters // 5 - 1, 1))
+        save_scene(model_dir, state.params, step=args.iters)
+
+    if not args.skip_test:
+        test = load_nerv(args.data, args.size, "test")
+
+        def eval_light_update(params, camera, i):
+            params = dict(params)
+            params["lights"] = dict(
+                params["lights"],
+                location=jnp.asarray(test.light_locs[i:i + 1]))
+            return params
+
+        for shadows, tag in (("learned", "soft"), ("hard", "hard")):
+            print(f"NeRV test with {tag} shadows")
+            test_scene = build_scene(max_steps=128, dist=args.dist,
+                                     occlusion=shadows)
+            evaluate(
+                test_scene, state.params,
+                lambda i: NeRFCamera(
+                    cam_to_world=test.cam_to_worlds[i:i + 1],
+                    focal=test.focal),
+                test.images, Direct(training=False), size=args.size,
+                chunk_size=min(args.size, 100), tone_map=True,
+                with_ms_ssim=args.size > 160,
+                light_update=eval_light_update,
+                save_fn=lambda i, im: save_image(
+                    f"{args.outputs}/nerv_{name}_{tag}_{i:03}.png", im))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_raytracing_tpu.kernels import FusedSkipConnMLP, fused_mlp_apply
+from neural_raytracing_tpu.nn import SkipConnMLP
+
+
+def make_pair(**kwargs):
+    ref = SkipConnMLP(**kwargs)
+    fused = FusedSkipConnMLP(mode="force", block_rows=64, **kwargs)
+    params = ref.init(jax.random.PRNGKey(0))
+    return ref, fused, params
+
+
+class TestFusedMLP:
+    @pytest.mark.parametrize("cfg", [
+        dict(in_size=3, out=1, num_layers=2, hidden_size=32, freqs=8),
+        dict(in_size=3, out=3, num_layers=6, hidden_size=96, freqs=64),
+        dict(in_size=3, out=8, num_layers=4, hidden_size=128, freqs=32,
+             activation="softplus"),
+    ])
+    def test_matches_reference_forward(self, cfg):
+        ref, fused, params = make_pair(**cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (100, cfg["in_size"]))
+        a = ref(params, x)
+        b = fused(params, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_nonaligned_batch(self):
+        ref, fused, params = make_pair(in_size=3, out=1, num_layers=2,
+                                       hidden_size=32, freqs=8)
+        for n in (1, 7, 63, 65):
+            x = jax.random.normal(jax.random.PRNGKey(n), (n, 3))
+            np.testing.assert_allclose(np.asarray(ref(params, x)),
+                                       np.asarray(fused(params, x)),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_batched_shape(self):
+        ref, fused, params = make_pair(in_size=3, out=2, num_layers=2,
+                                       hidden_size=32, freqs=8)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 5, 3))
+        assert fused(params, x).shape == (4, 5, 2)
+
+    def test_gradients_match_reference(self):
+        ref, fused, params = make_pair(in_size=3, out=1, num_layers=3,
+                                       hidden_size=32, freqs=8)
+        x = jax.random.normal(jax.random.PRNGKey(1), (64, 3))
+
+        ga = jax.grad(lambda p: jnp.sum(jnp.square(ref(p, x))))(params)
+        gb = jax.grad(lambda p: jnp.sum(jnp.square(fused(p, x))))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_second_order_through_input_grad(self):
+        # the SDF-normal pattern: d/dparams of (d/dx sdf)
+        ref, fused, params = make_pair(in_size=3, out=1, num_layers=2,
+                                       hidden_size=32, freqs=8)
+        x = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+
+        def normals(model, p):
+            return jax.grad(lambda q: jnp.sum(model(p, q)))(x)
+
+        def loss(model, p):
+            return jnp.sum(jnp.square(normals(model, p)))
+
+        ga = jax.grad(lambda p: loss(ref, p))(params)
+        gb = jax.grad(lambda p: loss(fused, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-2)
