@@ -19,10 +19,12 @@ Reference layer map: /root/reference/pytorch3d/pathtracer (see SURVEY.md).
 __version__ = "0.1.0"
 
 from . import ops, nn, shapes, bsdf, lights, cameras, integrators
+from . import edits, samplers, warps, utils, profiling
 from .render import pathtrace, pathtrace_sample, render_rays
 from .scene import Scene
 
 __all__ = [
     "ops", "nn", "shapes", "bsdf", "lights", "cameras", "integrators",
+    "edits", "samplers", "warps", "utils", "profiling",
     "pathtrace", "pathtrace_sample", "render_rays", "Scene",
 ]

@@ -59,7 +59,10 @@ def add_hole(sdf_fn: Callable, radius: float = 0.2,
     def edited(params, p):
         prev = sdf_fn(params, p)
         cut = jnp.linalg.norm(p - center, axis=-1) - radius
-        return jnp.maximum(prev, -(-cut))  # max(sdf, sphere) carves a hole
+        # CSG subtraction max(sdf, -sphere); the reference's add_hole as
+        # written computes the intersection instead and notes in a comment
+        # that subtraction needs the negation (test_nerf.py:81-85)
+        return jnp.maximum(prev, -cut)
 
     return edited
 

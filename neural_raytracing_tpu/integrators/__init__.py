@@ -1,5 +1,5 @@
 from .integrators import (
     Integrator, Debug, Silhouette, Mask, Depth, LevelSurfaces, BasisBRDF,
     Illumination, Luminance, Direct, Path, NeRFIntegrator, NeRFReproduce,
-    mis_weight,
+    NeuralApprox, mis_weight,
 )

@@ -266,6 +266,39 @@ class Path(Integrator):
         return result, original_active, first_it
 
 
+class NeuralApprox(Integrator):
+    """Directly predict outgoing radiance with a two-stage MLP.
+
+    Parity: integrators.py:208-240 — radiance =
+    ``(1 + tanh(TwoStageMLP(rusin(n, wi, wo), x))) / 2`` at the primary hit
+    with the light direction from emitter sampling.
+    """
+
+    def __init__(self):
+        from ..nn.mlp import TwoStageMLP
+        self.mlp = TwoStageMLP(in_1=3, in_2=3, intermediate=1, out=3)
+
+    def init(self, key):
+        return self.mlp.init(key)
+
+    def dims(self):
+        return 3
+
+    def sample(self, scene, params, rays, key=None, training=False):
+        from ..ops.rusin import param_rusin
+        it, active = scene.shape.intersect(params["shape"], rays, key=key,
+                                           primary=training)
+        no_occ = scene.replace(occlusion="none")
+        ds, _ = sample_emitter(no_occ, params, it, key, active)
+        wo = it.to_local(ds.d)
+        # the integrator's own params live under the "integrator" key
+        out = self.mlp(params["integrator"],
+                       param_rusin(it.n, it.from_local(it.wi), ds.d), it.p)
+        result = jnp.where(active[..., None], (1.0 + jnp.tanh(out)) / 2.0,
+                           0.0)
+        return result, active, it
+
+
 class NeRFIntegrator(Integrator):
     """Training wrapper: appends the soft-silhouette alpha channel."""
 

@@ -20,3 +20,11 @@ from .ssim import ssim, ms_ssim
 from .losses import (
     masked_loss, binary_cross_entropy, binary_cross_entropy_with_logits,
 )
+from .geometry import (
+    ray_point_dist, distance_between_rays_and_segments, mesh_level_surfaces,
+)
+from .misc import (
+    cartesian_to_log_polar, log_polar_indices, cartesian_indices,
+    finite_diff_ray, edge_detection, gaussian_kernel,
+    inverse_tan_activation, crop,
+)

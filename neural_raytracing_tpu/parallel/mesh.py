@@ -31,6 +31,24 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed for multi-host (DCN) operation.
+
+    On a multi-host pod slice, call this before any jax API; afterwards
+    ``jax.devices()`` spans all hosts and the same ``make_mesh()`` +
+    ``make_parallel_train_step`` code scales across the DCN — XLA places
+    the gradient all-reduce on ICI within a slice and DCN across slices.
+    On single-host environments (including this one) it is a no-op.
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -75,6 +75,8 @@ class PlainNeRF:
 
     def volume_render(self, params, rays, key=None, lights=None,
                       light_params=None, latent: Optional[jax.Array] = None):
+        if latent is None:
+            latent = params.get("latent")  # per-view codes [N, L], optional
         r_o, r_d = rays[..., :3], rays[..., 3:]
         tkey = nkey = None
         if key is not None:
@@ -155,6 +157,57 @@ class PartialNeRF:
         alpha, rgb, ts = self.forward(params, rays, key, latent)
         out = volumetric_integrate(jax.nn.relu(alpha), rgb, ts)
         return jax.nn.sigmoid(out)
+
+
+class MPI:
+    """Multi-plane image: learnable RGBA on fronto-parallel planes.
+
+    The reference's MPI (nerf.py:216-263) is unfinished (it exits before
+    rendering); this is a working volumetric version: ``num_planes``
+    planes perpendicular to ``normal`` between ``min_t`` and ``max_t``,
+    each sampled through a shared MLP conditioned on the plane index,
+    composited front-to-back.
+    """
+
+    def __init__(self, num_planes: int = 10, point=(0.0, 0.0, 0.0),
+                 normal=(0.0, 0.0, -1.0), min_t: float = 1e-1,
+                 max_t: float = 2.0):
+        self.num_planes = num_planes
+        self.point = jnp.asarray(point, jnp.float32)
+        self.normal = jnp.asarray(normal, jnp.float32)
+        self.min_t = min_t
+        self.max_t = max_t
+        self.mlp = SkipConnMLP(in_size=3, out=4, num_layers=4,
+                               hidden_size=64, freqs=16)
+
+    def init(self, key: jax.Array) -> dict:
+        return {"mlp": self.mlp.init(key)}
+
+    def volume_render(self, params, rays, key=None, lights=None,
+                      light_params=None):
+        r_o, r_d = rays[..., :3], rays[..., 3:]
+        n = self.normal
+        offsets = jnp.linspace(self.min_t, self.max_t, self.num_planes)
+        # ray/plane intersection per plane: t = (o_k - n.r_o) / (n.r_d)
+        denom = jnp.sum(n * r_d, axis=-1)
+        denom = jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        base = jnp.sum(n * (self.point - r_o), axis=-1)
+        ts = (base[None] + offsets.reshape(-1, *([1] * base.ndim))) / denom
+        valid = ts > 0
+        pts = r_o[None] + ts[..., None] * r_d[None]
+        idx = jnp.broadcast_to(
+            (offsets / self.max_t).reshape(-1, *([1] * base.ndim)),
+            ts.shape)
+        rgba = self.mlp(params["mlp"],
+                        jnp.concatenate(
+                            [pts[..., :2], idx[..., None]], axis=-1))
+        rgb = jax.nn.sigmoid(rgba[..., :3])
+        alpha = jax.nn.sigmoid(rgba[..., 3]) * valid
+        trans = jnp.cumprod(jnp.maximum(1.0 - alpha, 1e-10), axis=0)
+        trans = jnp.concatenate([jnp.ones_like(trans[:1]), trans[:-1]],
+                                axis=0)
+        weights = alpha * trans
+        return jnp.sum(weights[..., None] * rgb, axis=0)
 
 
 class NeRFLE:

@@ -112,14 +112,19 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
           extra_loss: Callable = default_extra_loss,
           light_update: Optional[Callable] = None,
           save_fn: Optional[Callable] = None, ckpt_freq: int = 0,
+          valid_freq: int = 0, valid_fn: Optional[Callable] = None,
           log_every: int = 100, log_fn: Callable = print,
+          metrics: Optional[list] = None,
           seed: int = 0, step_fn=None):
     """Generic host training loop shared by all dataset harnesses.
 
     ``make_camera(idxs) -> camera pytree`` builds the view batch;
     ``light_update(params, camera, idxs) -> params`` implements per-step
     light moves (colocated-light training, colocate.py:109);
-    ``exp_imgs [V, H, W, 3]``, ``exp_masks [V, H, W]``.
+    ``exp_imgs [V, H, W, 3]``, ``exp_masks [V, H, W]``;
+    ``valid_fn(state, step)`` runs every ``valid_freq`` steps (periodic
+    validation renders, training_utils.py:289-299); per-step scalars are
+    appended to ``metrics`` when a list is passed.
     Returns (state, losses).
     """
     if step_fn is None:
@@ -159,7 +164,13 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
             dt = time.time() - t0
             rps = rays_done / max(dt, 1e-9)
             log_fn(f"step {i:6d} loss {loss:.5f} rays/s {rps:,.0f}")
+        if metrics is not None:
+            metrics.append({"step": i, "loss": loss,
+                            "rays_per_sec": rays_done / max(
+                                time.time() - t0, 1e-9)})
         if save_fn is not None and ckpt_freq and (i % ckpt_freq) == 0 and i:
             save_fn(state, i)
+        if valid_fn is not None and valid_freq and (i % valid_freq) == 0:
+            valid_fn(state, i)
 
     return state, losses
