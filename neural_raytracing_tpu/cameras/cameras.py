@@ -191,21 +191,19 @@ class NeRFMMCamera(NamedTuple):
     def sample_positions(self, positions, key=None, bundle_size: int = 1,
                          size: int = 512, with_noise=False) -> jax.Array:
         pos = _expand_bundle(positions, key, bundle_size, with_noise)
-        u, v = pos[..., 0:1], pos[..., 1:2]
-        n = len(self)
-        extra = (None,) * (pos.ndim - 1)
-        fx = self.focals[(slice(None),) + extra + (0,)]
-        fy = self.focals[(slice(None),) + extra + (1,)]
-        d = jnp.stack([
-            (u[..., 0] - size * 0.5) / fx,
-            -(v[..., 0] - size * 0.5) / fy,
-            -jnp.ones(u[..., 0].shape),
-        ], axis=-1)
-        axis = self.axis[(slice(None),) + extra]
-        angle = self.angle[(slice(None),) + extra]
+        u, v = pos[..., 0], pos[..., 1]
+        extra = (None,) * pos.ndim  # per-view params -> [N, 1, ..., 1(, C)]
+        fx = self.focals[(slice(None),) + extra[:-1] + (0,)]
+        fy = self.focals[(slice(None),) + extra[:-1] + (1,)]
+        dx = (u - size * 0.5) / fx          # [N, ..., B]
+        dy = -(v - size * 0.5) / fy
+        d = jnp.stack([dx, dy, -jnp.ones_like(dx)], axis=-1)
+        axis = self.axis[(slice(None),) + extra[:-1]]
+        angle = self.angle[(slice(None),) + extra[:-1]]
         r_d = rotate_vector(d, axis, jnp.cos(angle), jnp.sin(angle))
         r_d = normalize(r_d)
-        r_o = jnp.broadcast_to(self.t[(slice(None),) + extra], r_d.shape)
+        r_o = jnp.broadcast_to(self.t[(slice(None),) + extra[:-1]],
+                               r_d.shape)
         return jnp.concatenate([r_o, r_d], axis=-1)
 
 
