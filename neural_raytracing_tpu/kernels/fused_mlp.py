@@ -41,10 +41,18 @@ def _jnp_forward(mlp: SkipConnMLP, params, x, latent=None):
     return SkipConnMLP.__call__(mlp, params, x, latent)
 
 
-def _build_kernel(mlp: SkipConnMLP, with_latent: bool):
-    """Kernel body closure for a given static MLP config."""
+def _build_kernel(mlp: SkipConnMLP, with_latent: bool,
+                  compute_dtype=jnp.float32):
+    """Kernel body closure for a given static MLP config.
+
+    With ``compute_dtype=bfloat16`` the matmul OPERANDS are bf16 (2x MXU
+    throughput) while accumulation and the Fourier trig stay f32 — the
+    standard mixed-precision recipe; appropriate for the shading nets,
+    keep the SDF surface net in f32.
+    """
     act = mlp.activation
     num_layers = mlp.num_layers
+    cd = compute_dtype
 
     def kernel(*refs):
         # refs: x, [latent], B, init_w, init_b, {w_i, b_i}..., out_w, out_b, o
@@ -59,19 +67,27 @@ def _build_kernel(mlp: SkipConnMLP, with_latent: bool):
         out_w = refs[idx]; out_b = refs[idx + 1]
         o_ref = refs[-1]
 
+        # activations/bias/trig stay f32 (Mosaic lacks bf16 compares for
+        # the activation selects); only the matmul OPERANDS are cast to cd
         x = x_ref[:]
         mapped = jnp.dot(x, b_ref[:], preferred_element_type=jnp.float32)
         enc = jnp.concatenate([x, jnp.sin(mapped), jnp.cos(mapped)], axis=-1)
         if with_latent:
             enc = jnp.concatenate([enc, latent_ref[:]], axis=-1)
-        h = jnp.dot(enc, init_w[:],
+        enc_c = enc.astype(cd)
+        h = jnp.dot(enc_c, init_w[:].astype(cd),
                     preferred_element_type=jnp.float32) + init_b[:]
+        # parity: the reference activates the CONCATENATED vector (skip
+        # layers see act(enc) too); act is elementwise so split the concat
+        act_enc_c = act(enc).astype(cd)
         for i in range(num_layers):
             if mlp._is_skip_layer(i):
-                h = jnp.concatenate([h, enc], axis=-1)
-            h = jnp.dot(act(h), layer_refs[2 * i][:],
+                a = jnp.concatenate([act(h).astype(cd), act_enc_c], axis=-1)
+            else:
+                a = act(h).astype(cd)
+            h = jnp.dot(a, layer_refs[2 * i][:].astype(cd),
                         preferred_element_type=jnp.float32) + layer_refs[2 * i + 1][:]
-        o_ref[:] = (jnp.dot(act(h), out_w[:],
+        o_ref[:] = (jnp.dot(act(h).astype(cd), out_w[:].astype(cd),
                             preferred_element_type=jnp.float32) + out_b[:])
 
     return kernel
@@ -111,7 +127,7 @@ def _pallas_forward(mlp: SkipConnMLP, params, x, latent=None,
     in_specs.extend(full(w) for w in weights)
 
     out = pl.pallas_call(
-        _build_kernel(mlp, with_latent),
+        _build_kernel(mlp, with_latent, compute_dtype=mlp.compute_dtype),
         grid=grid,
         in_specs=in_specs,
         out_specs=row_spec(mlp.out_size),

@@ -1,0 +1,176 @@
+"""Integrator tests: closed-form radiance, Path gradient structure."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import neural_raytracing_tpu as nrt
+from neural_raytracing_tpu.bsdf import Diffuse
+from neural_raytracing_tpu.integrators import (
+    Debug, Depth, Direct, Illumination, Mask, NeRFIntegrator, Path,
+    Silhouette,
+)
+from neural_raytracing_tpu.lights import PointLights
+from neural_raytracing_tpu.nn import SkipConnMLP
+from neural_raytracing_tpu.shapes import SDF, Sphere, SphereSDF
+
+
+def simple_scene(radius=1.0, light=(0.0, 0.0, 4.0), scale=50.0,
+                 refl=(0.6, 0.4, 0.2)):
+    return nrt.Scene(shape=Sphere((0.0, 0.0, 0.0), radius),
+                     bsdf=Diffuse(refl),
+                     lights=PointLights(location=light, scale=scale))
+
+
+HEAD_ON = jnp.asarray([[0.0, 0.0, 3.0, 0.0, 0.0, -1.0]])
+
+
+class TestDirectClosedForm:
+    def test_head_on_radiance(self):
+        # hit at (0,0,1), n=(0,0,1); light on the axis at (0,0,4):
+        # wo local = +z => cos=1; dist=3
+        refl = (0.6, 0.4, 0.2)
+        scale = 50.0
+        scene = simple_scene(light=(0.0, 0.0, 4.0), scale=scale, refl=refl)
+        params = scene.init(jax.random.PRNGKey(0))
+        out, active, _ = Direct(training=False).sample(
+            scene, params, HEAD_ON, key=jax.random.PRNGKey(1))
+        assert bool(active[0])
+        d = 3.0 - 1e-5  # surface offset moves the hit towards the light
+        falloff = 1e-6 + 1e-6 * d + 1.0 * d * d
+        intensity = np.asarray(refl := np.asarray([0.6, 0.4, 0.2]))
+        color = np.ones(3) / math.sqrt(3.0)
+        expected = (refl / math.pi) * scale * color / falloff
+        np.testing.assert_allclose(np.asarray(out[0]), expected, rtol=1e-3)
+
+    def test_oblique_cosine_falloff(self):
+        # light moved off-axis: radiance scales with cos of local light dir
+        scene = simple_scene(light=(4.0, 0.0, 4.0))
+        params = scene.init(jax.random.PRNGKey(0))
+        out_oblique, _, _ = Direct(training=False).sample(
+            scene, params, HEAD_ON, key=jax.random.PRNGKey(1))
+        scene2 = simple_scene(light=(0.0, 0.0, 4.0))
+        params2 = scene2.init(jax.random.PRNGKey(0))
+        out_axis, _, _ = Direct(training=False).sample(
+            scene2, params2, HEAD_ON, key=jax.random.PRNGKey(1))
+        assert float(out_oblique.sum()) < float(out_axis.sum())
+
+    def test_hard_shadow_blocks(self):
+        # occluder off the camera ray but on the shadow segment:
+        # hit (0,0,1) -> light (0,3,3) passes through (0,1.5,2.0)
+        from neural_raytracing_tpu.shapes import SphereCloud
+        cloud = SphereCloud([[0.0, 0.0, 0.0], [0.0, 1.5, 2.0]],
+                            radii=jnp.asarray([1.0, 0.3]))
+        scene = nrt.Scene(shape=cloud, bsdf=Diffuse(),
+                          lights=PointLights(location=(0.0, 3.0, 3.0)),
+                          occlusion="hard")
+        params = scene.init(jax.random.PRNGKey(0))
+        out, active, _ = Direct(training=False).sample(
+            scene, params, HEAD_ON, key=jax.random.PRNGKey(1))
+        assert bool(active[0])
+        np.testing.assert_allclose(np.asarray(out[0]), 0.0, atol=1e-6)
+        # sanity: without the occluder the same config is lit
+        solo = nrt.Scene(shape=Sphere((0.0, 0.0, 0.0), 1.0), bsdf=Diffuse(),
+                         lights=PointLights(location=(0.0, 3.0, 3.0)),
+                         occlusion="hard")
+        sparams = solo.init(jax.random.PRNGKey(0))
+        lit, _, _ = Direct(training=False).sample(
+            solo, sparams, HEAD_ON, key=jax.random.PRNGKey(1))
+        assert float(lit.sum()) > 0
+
+
+class TestDebugFamily:
+    def test_debug_normals(self):
+        scene = simple_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        out, active, _ = Debug().sample(scene, params, HEAD_ON)
+        np.testing.assert_allclose(np.asarray(out[0]), [0.5, 0.5, 1.0],
+                                   atol=1e-4)
+
+    def test_depth(self):
+        scene = simple_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        out, _, _ = Depth().sample(scene, params, HEAD_ON)
+        np.testing.assert_allclose(np.asarray(out[0, 0]), 2.0, atol=1e-5)
+
+    def test_silhouette_and_mask(self):
+        scene = simple_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        rays = jnp.concatenate([HEAD_ON,
+                                jnp.asarray([[5.0, 0, 3, 0, 0, -1.0]])])
+        sil, _, _ = Silhouette().sample(scene, params, rays)
+        assert float(sil[0, 0]) == 0.0 and float(sil[1, 0]) == 1.0
+        masked, active, _ = Mask(Direct(training=False)).sample(
+            scene, params, rays, key=jax.random.PRNGKey(0))
+        assert masked.shape[-1] == 4
+        assert float(masked[0, 3]) == 1.0 and float(masked[1, 3]) == 0.0
+        assert bool(active.all())  # Mask marks everything active
+
+
+class TestPath:
+    def sdf_scene(self):
+        # NOTE: the truncated smooth_min caps each march step at ~0.29, so
+        # rays must start close enough for max_steps to reach the surface
+        sdf = SDF(SphereSDF(n=8, mlp=SkipConnMLP(
+            in_size=3, out=1, num_layers=2, hidden_size=16, freqs=4,
+            activation="softplus", init="zeros")),
+            max_steps=16, throughput_steps=8)
+        return nrt.Scene(shape=sdf, bsdf=Diffuse(),
+                         lights=PointLights(location=(0.0, 0.0, 4.0)))
+
+    def test_path_matches_direct_at_depth_1(self):
+        scene = simple_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        d, a1, _ = Direct(training=False).sample(scene, params, HEAD_ON,
+                                                 key=jax.random.PRNGKey(1))
+        p, a2, _ = Path(max_depth=1, training=False).sample(
+            scene, params, HEAD_ON, key=jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(p), rtol=1e-5)
+
+    def test_multi_bounce_adds_radiance(self):
+        scene = simple_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        p1, _, _ = Path(max_depth=1, training=False).sample(
+            scene, params, HEAD_ON, key=jax.random.PRNGKey(1))
+        p2, _, _ = Path(max_depth=2, training=False).sample(
+            scene, params, HEAD_ON, key=jax.random.PRNGKey(1))
+        assert float(p2.sum()) >= float(p1.sum()) - 1e-6
+
+    def test_gradients_flow_but_throughput_detached(self):
+        scene = self.sdf_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        xs = jnp.linspace(-0.1, 0.1, 4)
+        gx, gy = jnp.meshgrid(xs, xs)
+        r_o = jnp.stack([gx, gy, jnp.full_like(gx, 0.8)], -1).reshape(-1, 3)
+        rays = jnp.concatenate(
+            [r_o, jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]),
+                                   r_o.shape)], -1)
+
+        def loss(params):
+            out, _, it = Path(max_depth=2, training=True).sample(
+                scene, params, rays, key=jax.random.PRNGKey(1))
+            return jnp.sum(out) + jnp.sum(it.throughput)
+
+        g = jax.grad(loss)(params)
+        total = sum(float(jnp.abs(x).sum())
+                    for x in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
+
+
+class TestNeRFIntegratorWrapper:
+    def test_alpha_channel_appended(self):
+        sdf = SDF(SphereSDF(n=8, mlp=SkipConnMLP(
+            in_size=3, out=1, num_layers=2, hidden_size=16, freqs=4,
+            activation="softplus", init="zeros")),
+            max_steps=8, throughput_steps=8)
+        scene = nrt.Scene(shape=sdf, bsdf=Diffuse(),
+                          lights=PointLights(location=(0.0, 0.0, 4.0)))
+        params = scene.init(jax.random.PRNGKey(0))
+        out, active, it = NeRFIntegrator(Direct(training=True)).sample(
+            scene, params, HEAD_ON, key=jax.random.PRNGKey(1))
+        assert out.shape[-1] == 4
+        assert bool(active.all())
+        # alpha is sigmoid(logits) in [0, 1]
+        assert 0.0 <= float(out[0, 3]) <= 1.0

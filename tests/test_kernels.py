@@ -76,3 +76,34 @@ class TestFusedMLP:
                         jax.tree_util.tree_leaves(gb)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-3, rtol=1e-2)
+
+
+class TestFusedSphereSDF:
+    def test_forward_and_grad_parity(self):
+        from neural_raytracing_tpu.kernels.fused_sdf import (
+            FusedSphereSDF, _jnp_forward,
+        )
+        m = FusedSphereSDF(n=32, mode="force", block_rows=64)
+        p = m.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (100, 3))
+        np.testing.assert_allclose(np.asarray(_jnp_forward(m, p, x)),
+                                   np.asarray(m(p, x)), atol=1e-5)
+        ga = jax.grad(lambda pp: jnp.sum(jnp.square(_jnp_forward(m, pp, x))))(p)
+        gb = jax.grad(lambda pp: jnp.sum(jnp.square(m(pp, x))))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_matches_plain_sphere_sdf_module(self):
+        from neural_raytracing_tpu.kernels.fused_sdf import FusedSphereSDF
+        from neural_raytracing_tpu.nn import SkipConnMLP
+        from neural_raytracing_tpu.shapes import SphereSDF
+        mlp = SkipConnMLP(in_size=3, out=1, num_layers=2, hidden_size=32,
+                          freqs=8, activation="softplus", init="zeros")
+        fused = FusedSphereSDF(n=16, mode="off", mlp=mlp)
+        plain = SphereSDF(n=16, mlp=mlp)
+        p = plain.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (50, 3))
+        np.testing.assert_allclose(np.asarray(fused(p, x)),
+                                   np.asarray(plain(p, x)), atol=1e-5)
