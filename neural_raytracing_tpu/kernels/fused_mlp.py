@@ -137,10 +137,160 @@ def _pallas_forward(mlp: SkipConnMLP, params, x, latent=None,
     return out[:n].reshape(batches + (mlp.out_size,))
 
 
+def _build_bwd_kernel(mlp: SkipConnMLP):
+    """Recompute-forward-then-backprop kernel for one row block.
+
+    Weight/bias grads accumulate across the (sequential) TPU grid via
+    zero-init at program 0 and += thereafter; dx is written per block.
+    """
+    from jax.experimental import pallas as pl
+    from ..nn.mlp import ACTIVATION_GRADS
+
+    act = mlp.activation
+    dact = ACTIVATION_GRADS[mlp.activation_name]
+    L = mlp.num_layers
+    in_size = mlp.in_size
+
+    def matT(a, b):
+        # a [B, m], b [B, n] -> a^T b [m, n] on the MXU
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def kernel(*refs):
+        x_ref, g_ref = refs[0], refs[1]
+        idx = 2
+        b_ref = refs[idx]; idx += 1
+        init_w, init_b = refs[idx], refs[idx + 1]; idx += 2
+        layer_refs = refs[idx: idx + 2 * L]; idx += 2 * L
+        out_w, out_b = refs[idx], refs[idx + 1]; idx += 2
+        # outputs
+        dx_ref = refs[idx]; idx += 1
+        d_init_w, d_init_b = refs[idx], refs[idx + 1]; idx += 2
+        d_layer_refs = refs[idx: idx + 2 * L]; idx += 2 * L
+        d_out_w, d_out_b = refs[idx], refs[idx + 1]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            d_init_w[:] = jnp.zeros_like(d_init_w)
+            d_init_b[:] = jnp.zeros_like(d_init_b)
+            for r in d_layer_refs:
+                r[:] = jnp.zeros_like(r)
+            d_out_w[:] = jnp.zeros_like(d_out_w)
+            d_out_b[:] = jnp.zeros_like(d_out_b)
+
+        f32 = jnp.float32
+        x = x_ref[:]
+        g = g_ref[:]
+        mapped = jnp.dot(x, b_ref[:], preferred_element_type=f32)
+        sin_m, cos_m = jnp.sin(mapped), jnp.cos(mapped)
+        enc = jnp.concatenate([x, sin_m, cos_m], axis=-1)
+        act_enc = act(enc)
+
+        # forward recompute, keeping pre-activations
+        hs = [jnp.dot(enc, init_w[:], preferred_element_type=f32)
+              + init_b[:]]
+        a_list = []
+        for i in range(L):
+            if mlp._is_skip_layer(i):
+                a = jnp.concatenate([act(hs[-1]), act_enc], axis=-1)
+            else:
+                a = act(hs[-1])
+            a_list.append(a)
+            hs.append(jnp.dot(a, layer_refs[2 * i][:],
+                              preferred_element_type=f32)
+                      + layer_refs[2 * i + 1][:])
+
+        a_out = act(hs[-1])
+        d_out_w[:] += matT(a_out, g)
+        d_out_b[:] += jnp.sum(g, axis=0, keepdims=True)
+        gh = jnp.dot(g, out_w[:].T, preferred_element_type=f32) * dact(hs[-1])
+
+        genc_act = jnp.zeros_like(enc)
+        for i in reversed(range(L)):
+            d_layer_refs[2 * i][:] += matT(a_list[i], gh)
+            d_layer_refs[2 * i + 1][:] += jnp.sum(gh, axis=0, keepdims=True)
+            ga = jnp.dot(gh, layer_refs[2 * i][:].T,
+                         preferred_element_type=f32)
+            if mlp._is_skip_layer(i):
+                gh = ga[:, :mlp.hidden_size] * dact(hs[i])
+                genc_act = genc_act + ga[:, mlp.hidden_size:]
+            else:
+                gh = ga * dact(hs[i])
+
+        d_init_w[:] += matT(enc, gh)
+        d_init_b[:] += jnp.sum(gh, axis=0, keepdims=True)
+        genc = (jnp.dot(gh, init_w[:].T, preferred_element_type=f32)
+                + genc_act * dact(enc))
+        # enc = [x, sin(xB), cos(xB)]; dB = 0 (stop-gradient basis)
+        n_f = mlp.freqs
+        g_sin = genc[:, in_size:in_size + n_f]
+        g_cos = genc[:, in_size + n_f:]
+        dx_ref[:] = (genc[:, :in_size]
+                     + jnp.dot(g_sin * cos_m - g_cos * sin_m, b_ref[:].T,
+                               preferred_element_type=f32))
+
+    return kernel
+
+
+def _pallas_backward(mlp: SkipConnMLP, params, x, g, block_rows: int = 256,
+                     interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batches = x.shape[:-1]
+    flat = x.reshape(-1, mlp.in_size)
+    gflat = g.reshape(-1, mlp.out_size)
+    n = flat.shape[0]
+    n_pad = max(-(-n // block_rows) * block_rows, block_rows)
+    flat = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
+    gflat = jnp.pad(gflat, ((0, n_pad - n), (0, 0)))
+
+    weights = [params["B"], params["init"]["w"],
+               params["init"]["b"].reshape(1, -1)]
+    for layer in params["layers"]:
+        weights.extend([layer["w"], layer["b"].reshape(1, -1)])
+    weights.extend([params["out"]["w"], params["out"]["b"].reshape(1, -1)])
+
+    grid = (n_pad // block_rows,)
+    row_spec = lambda width: pl.BlockSpec(
+        (block_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda w: pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
+                                  memory_space=pltpu.VMEM)
+
+    # grads for every weight (skipping B), all full-array accumulated
+    grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                   for w in weights[1:]]
+    out_shape = ([jax.ShapeDtypeStruct((n_pad, mlp.in_size), jnp.float32)]
+                 + grad_shapes)
+    out_specs = ([row_spec(mlp.in_size)]
+                 + [full(w) for w in weights[1:]])
+
+    outs = pl.pallas_call(
+        _build_bwd_kernel(mlp),
+        grid=grid,
+        in_specs=[row_spec(mlp.in_size), row_spec(mlp.out_size)]
+        + [full(w) for w in weights],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(flat, gflat, *weights)
+
+    dx = outs[0][:n].reshape(batches + (mlp.in_size,))
+    it = iter(outs[1:])
+    dparams = {
+        "B": jnp.zeros_like(params["B"]),
+        "init": {"w": next(it), "b": next(it).reshape(-1)},
+        "layers": tuple({"w": next(it), "b": next(it).reshape(-1)}
+                        for _ in range(mlp.num_layers)),
+    }
+    dparams["out"] = {"w": next(it), "b": next(it).reshape(-1)}
+    return dparams, dx
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
 def fused_mlp_apply(mlp: SkipConnMLP, params, x, interpret: bool = False,
                     block_rows: int = 512):
-    """Fused forward; backward falls back to exact jnp gradients."""
+    """Fused forward; backward via the Pallas bwd kernel (or exact jnp)."""
     return _pallas_forward(mlp, params, x, interpret=interpret,
                            block_rows=block_rows)
 
@@ -151,6 +301,16 @@ def _fwd(mlp, params, x, interpret, block_rows):
 
 def _bwd(mlp, interpret, block_rows, res, g):
     params, x = res
+    # the Pallas bwd kernel is NOT differentiable itself — only enable it
+    # on nets that never need second-order AD (the shading nets; the SDF
+    # surface net gets grad-of-grad through its normals and must keep the
+    # traceable jnp backward)
+    use_pallas = (getattr(mlp, "pallas_bwd", False)
+                  and mlp.activation_name is not None)
+    if use_pallas:
+        return _pallas_backward(mlp, params, x, g,
+                                block_rows=min(block_rows, 256),
+                                interpret=interpret)
     _, vjp = jax.vjp(lambda p, xx: _jnp_forward(mlp, p, xx), params, x)
     return vjp(g)
 
@@ -170,11 +330,13 @@ class FusedSkipConnMLP(SkipConnMLP):
     """
 
     def __init__(self, *args, mode: str = "auto", block_rows: int = 512,
-                 **kwargs):
+                 pallas_bwd: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         assert mode in ("auto", "force", "off")
         self.mode = mode
         self.block_rows = block_rows
+        # opt-in: hand-written Pallas backward (first-order-only nets)
+        self.pallas_bwd = pallas_bwd
 
     def __call__(self, params, p, latent=None):
         use = (self.mode == "force"

@@ -36,11 +36,31 @@ ACTIVATIONS: dict = {
     "identity": lambda x: x,
 }
 
+# derivative wrt the pre-activation (used by hand-written Pallas backwards)
+ACTIVATION_GRADS: dict = {
+    "leaky_relu": lambda x: jnp.where(x >= 0, 1.0, 0.01),
+    "relu": lambda x: jnp.where(x >= 0, 1.0, 0.0),
+    "softplus": jax.nn.sigmoid,
+    "sigmoid": lambda x: jax.nn.sigmoid(x) * (1.0 - jax.nn.sigmoid(x)),
+    "tanh": lambda x: 1.0 - jnp.square(jnp.tanh(x)),
+    "identity": lambda x: jnp.ones_like(x),
+}
+
 
 def resolve_activation(act) -> Callable:
     if callable(act):
         return act
     return ACTIVATIONS[act]
+
+
+def activation_name(act) -> Optional[str]:
+    """The registry name of an activation, or None if custom."""
+    if isinstance(act, str):
+        return act
+    for name, fn in ACTIVATIONS.items():
+        if fn is act:
+            return name
+    return None
 
 
 def _linear_init(key, fan_in: int, fan_out: int, mode: str):
@@ -87,6 +107,7 @@ class SkipConnMLP:
         self.sigma = sigma
         self.latent_size = latent_size
         self.activation = resolve_activation(activation)
+        self.activation_name = activation_name(activation)
         self.init_mode = init
         self.compute_dtype = compute_dtype
 

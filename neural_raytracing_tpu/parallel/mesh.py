@@ -81,6 +81,34 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 
 
+def sharded_render_rays(scene, params, rays, integrator, mesh: Mesh,
+                        key=None, training: bool = False):
+    """Render a flat ray batch with the ray axis sharded over the mesh.
+
+    Pads the ray count to a mesh multiple, shards axis 0, replicates
+    params; one jit call renders across all devices (serving path).
+    """
+    import jax.numpy as jnp
+
+    n = mesh.devices.size
+    r = rays.shape[0]
+    pad = (-r) % n
+    if pad:
+        rays = jnp.concatenate([rays, jnp.broadcast_to(rays[-1:],
+                                                       (pad,) + rays.shape[1:])])
+    rays = jax.device_put(rays, data_sharding(mesh))
+    params = replicate(params, mesh)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(params, rays, key):
+        values, active, _ = integrator.sample(scene, params, rays, key=key,
+                                              training=training)
+        return values, active
+
+    values, active = run(params, rays, key)
+    return values[:r], active[:r]
+
+
 def make_parallel_train_step(scene, integrator, optimizer, mesh: Mesh, *,
                              n_views: int, **step_kwargs):
     """A jitted train step with data-parallel shardings over ``mesh``.

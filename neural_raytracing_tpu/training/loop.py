@@ -115,7 +115,7 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
           valid_freq: int = 0, valid_fn: Optional[Callable] = None,
           log_every: int = 100, log_fn: Callable = print,
           metrics: Optional[list] = None,
-          seed: int = 0, step_fn=None):
+          mesh=None, seed: int = 0, step_fn=None):
     """Generic host training loop shared by all dataset harnesses.
 
     ``make_camera(idxs) -> camera pytree`` builds the view batch;
@@ -128,11 +128,20 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
     Returns (state, losses).
     """
     if step_fn is None:
-        step_fn = make_train_step(
-            scene, integrator, optimizer, size=size, crop_size=crop_size,
-            bundle_size=bundle_size, mask_weight=mask_weight,
-            tone_mapping=tone_mapping, with_ssim=with_ssim,
-            extra_loss=extra_loss)
+        if mesh is not None:
+            from ..parallel import make_parallel_train_step, replicate
+            step_fn = make_parallel_train_step(
+                scene, integrator, optimizer, mesh, n_views=n_views,
+                size=size, crop_size=crop_size, bundle_size=bundle_size,
+                mask_weight=mask_weight, tone_mapping=tone_mapping,
+                with_ssim=with_ssim, extra_loss=extra_loss)
+            state = replicate(state, mesh)
+        else:
+            step_fn = make_train_step(
+                scene, integrator, optimizer, size=size, crop_size=crop_size,
+                bundle_size=bundle_size, mask_weight=mask_weight,
+                tone_mapping=tone_mapping, with_ssim=with_ssim,
+                extra_loss=extra_loss)
 
     selector = LossSampler(len(exp_imgs))
     rng = np.random.default_rng(seed)
@@ -150,6 +159,11 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
         if light_update is not None:
             state = state._replace(
                 params=light_update(state.params, camera, idxs))
+        if mesh is not None:
+            from ..parallel import shard_batch
+            camera = shard_batch(camera, mesh, n_views)
+            exp = shard_batch(exp, mesh, n_views)
+            mask = shard_batch(mask, mesh, n_views)
         state, aux = step_fn(state, camera,
                              (jnp.float32(u), jnp.float32(v)), exp, mask,
                              skey)

@@ -67,12 +67,18 @@ def main():
         return NeRFCamera(cam_to_world=c2ws[np.asarray(idxs)],
                           focal=data.focal)
 
+    mesh = None
+    if args.data_parallel:
+        from neural_raytracing_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        print(f"data-parallel over {mesh.devices.size} devices")
+
     if args.iters > 0:
         state, _ = train(
             scene, Direct(training=True), opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
             size=args.size, crop_size=args.crop_size, iters=args.iters,
-            n_views=args.n_views, log_every=args.log_every,
+            n_views=args.n_views, log_every=args.log_every, mesh=mesh,
             save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
             ckpt_freq=max(args.iters // 5 - 1, 1))
         save_scene(model_dir, state.params, step=args.iters)

@@ -107,3 +107,29 @@ class TestFusedSphereSDF:
         x = jax.random.normal(jax.random.PRNGKey(1), (50, 3))
         np.testing.assert_allclose(np.asarray(fused(p, x)),
                                    np.asarray(plain(p, x)), atol=1e-5)
+
+
+class TestPallasBackwardKernel:
+    @pytest.mark.parametrize("act", ["leaky_relu", "softplus"])
+    def test_grad_parity(self, act):
+        cfg = dict(in_size=3, out=2, num_layers=4, hidden_size=32, freqs=8,
+                   activation=act)
+        ref = SkipConnMLP(**cfg)
+        fused = FusedSkipConnMLP(mode="force", block_rows=64,
+                                 pallas_bwd=True, **cfg)
+        p = ref.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (100, 3))
+
+        def loss(model, pp, xx):
+            return jnp.sum(jnp.sin(model(pp, xx)))
+
+        ga, gxa = jax.grad(lambda pp, xx: loss(ref, pp, xx),
+                           argnums=(0, 1))(p, x)
+        gb, gxb = jax.grad(lambda pp, xx: loss(fused, pp, xx),
+                           argnums=(0, 1))(p, x)
+        for a, b in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb),
+                                   atol=2e-4, rtol=1e-3)

@@ -91,3 +91,53 @@ class TestDataParallel:
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedHelpers:
+    def test_sharded_render_rays(self):
+        from neural_raytracing_tpu.parallel import sharded_render_rays
+        scene = tiny_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        mesh = make_mesh(8)
+        # 19 rays: not a mesh multiple (exercises padding)
+        xs = jnp.linspace(-0.3, 0.3, 19)
+        r_o = jnp.stack([xs, jnp.zeros_like(xs), jnp.full_like(xs, 2.0)], -1)
+        rays = jnp.concatenate(
+            [r_o, jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]),
+                                   r_o.shape)], -1)
+        values, active = sharded_render_rays(scene, params, rays,
+                                             Direct(training=False), mesh,
+                                             key=jax.random.PRNGKey(1))
+        assert values.shape == (19, 3)
+        # matches the unsharded path
+        v2, a2, _ = Direct(training=False).sample(scene, params, rays,
+                                                  key=jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(values), np.asarray(v2),
+                                   atol=1e-5)
+
+    def test_train_loop_with_mesh(self):
+        from neural_raytracing_tpu.training import (
+            init_train_state, make_optimizer, train,
+        )
+        scene = tiny_scene()
+        opt = make_optimizer({"shape": 1e-3, "bsdf": 1e-3, "lights": 0.0})
+        state = init_train_state(scene, opt, jax.random.PRNGKey(0))
+        n_views = 8
+        r, t = look_at_view_transform(dist=2.0,
+                                      elev=np.linspace(0, 30, n_views),
+                                      azim=np.linspace(-45, 45, n_views))
+        cams = FoVPerspectiveCamera(R=r, T=t)
+        imgs = np.zeros((n_views, 32, 32, 3), np.float32)
+        masks = np.ones((n_views, 32, 32), np.float32)
+
+        def make_camera(idxs):
+            idxs = np.asarray(idxs)
+            return FoVPerspectiveCamera(R=cams.R[idxs], T=cams.T[idxs])
+
+        state, losses = train(
+            scene, Direct(training=True), opt, state, make_camera, imgs,
+            masks, jax.random.PRNGKey(1), size=32, crop_size=16, iters=3,
+            n_views=n_views, mesh=make_mesh(8), log_every=0)
+        assert len(losses) == 3
+        assert all(np.isfinite(losses))
