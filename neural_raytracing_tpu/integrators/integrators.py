@@ -91,8 +91,9 @@ class Mask(Integrator):
 
 
 class Depth(Integrator):
-    def __init__(self, empty_val: float = -1.0):
+    def __init__(self, empty_val: float = -1.0, scale: bool = False):
         self.empty_val = empty_val
+        self.scale = scale  # normalize nonzero depths by their max
 
     def dims(self):
         return 1
@@ -101,6 +102,10 @@ class Depth(Integrator):
         it, active = scene.shape.intersect(params["shape"], rays, key=key,
                                            primary=False)
         results = jnp.where(active, it.t, self.empty_val)
+        if self.scale:
+            max_t = jnp.max(jnp.where(active, results, 0.0))
+            results = jnp.where(results != 0,
+                                results / jnp.maximum(max_t, 1e-9), results)
         return results[..., None], active, it
 
 

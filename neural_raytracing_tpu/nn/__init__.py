@@ -1,5 +1,6 @@
 from .mlp import (
     SkipConnMLP, TwoStageMLP, AutoDecoder, PartitionedAutoDecoder,
-    DensityEstimator, ACTIVATIONS, resolve_activation, linear,
+    DensityEstimator, ACTIVATIONS, ACTIVATION_GRADS, resolve_activation,
+    activation_name, linear, prime_identity,
 )
 from .conv import Discriminator

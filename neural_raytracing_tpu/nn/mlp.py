@@ -153,6 +153,35 @@ class SkipConnMLP:
         return out.astype(jnp.float32).reshape(batches + (self.out_size,))
 
 
+def prime_identity(mlp: "SkipConnMLP", params, key, lr: float = 1e-4,
+                   iters: int = 2000, batches: int = 4096):
+    """Pre-train an MLP to approximate the identity on [0, 1]^in.
+
+    Parity: ``SkipConnMLP.prime_identity`` (neural_blocks.py:88-102).
+    """
+    import optax
+
+    opt = optax.adamw(lr, weight_decay=0.0)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        xkey, key = jax.random.split(key)
+        x = jax.random.uniform(xkey, (batches, mlp.in_size))
+
+        def loss_fn(p):
+            return jnp.mean(jnp.square(mlp(p, x) - x[:, :mlp.out_size]))
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, key, loss
+
+    loss = None
+    for _ in range(iters):
+        params, opt_state, key, loss = step(params, opt_state, key)
+    return params, loss
+
+
 class TwoStageMLP:
     """Two chained skip-MLP stages with a sigmoid bottleneck between them.
 

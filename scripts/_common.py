@@ -31,6 +31,13 @@ def save_image(path: str, img) -> None:
     Image.fromarray(arr).save(path)
 
 
+def save_plot(expected, got, path: str) -> None:
+    """Side-by-side expected/got comparison image (training_utils.py:22-33)."""
+    exp = np.clip(np.asarray(expected)[..., :3], 0, 1)
+    g = np.clip(np.asarray(got)[..., :3], 0, 1)
+    save_image(path, np.concatenate([exp, g], axis=1))
+
+
 def base_parser(desc: str) -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=desc)
     ap.add_argument("--size", type=int, default=256, help="image size")
