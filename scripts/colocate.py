@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--data", type=str, required=True)
     ap.add_argument("--kind", type=str, default="bunny",
                     choices=["bunny", "buddha", "teapot", "armadillo"])
+    ap.add_argument("--n-elev", type=int, default=8)
+    ap.add_argument("--n-azim", type=int, default=8)
     ap.add_argument("--surface-lr", type=float, default=8e-5)
     ap.add_argument("--bsdf-lr", type=float, default=8e-4)
     ap.add_argument("--light-lr", type=float, default=8e-5)
@@ -61,7 +63,8 @@ def main():
     )
     from neural_raytracing_tpu.training.datasets import load_colocate
 
-    data = load_colocate(args.data, args.kind, args.size)
+    data = load_colocate(args.data, args.kind, args.size,
+                         n_elev=args.n_elev, n_azim=args.n_azim)
     r, t = look_at_view_transform(dist=data.dist, elev=data.elevs,
                                   azim=data.azims)
     cams = FoVPerspectiveCamera(R=r, T=t)

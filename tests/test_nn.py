@@ -129,3 +129,43 @@ class TestDensityEstimator:
         pdf = de.pdf(params, grid)[..., 0]
         integral = float(jnp.sum(pdf)) * (12 / 200) ** 2
         assert abs(integral - 1.0) < 0.02
+
+
+class TestHashEncoding:
+    def test_shapes_and_interpolation_continuity(self):
+        from neural_raytracing_tpu.nn.hash_encoding import HashEncoding
+        enc = HashEncoding(levels=4, table_size_log2=10, features=2,
+                           base_resolution=4, max_resolution=32, bound=1.0)
+        params = enc.init(jax.random.PRNGKey(0))
+        p = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                               minval=-1, maxval=1)
+        out = enc(params, p)
+        assert out.shape == (64, 4 * 2)
+        # trilinear interpolation -> tiny input perturbation, tiny output
+        out2 = enc(params, p + 1e-5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                                   atol=1e-3)
+
+    def test_hash_sdf_starts_as_sphere(self):
+        from neural_raytracing_tpu.nn.hash_encoding import HashSDF
+        sdf = HashSDF(init_sphere_radius=0.5)
+        params = sdf.init(jax.random.PRNGKey(0))
+        p = jax.random.normal(jax.random.PRNGKey(1), (32, 3))
+        got = sdf(params, p)
+        expected = jnp.linalg.norm(p, axis=-1) - 0.5
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=1e-6)
+
+    def test_hash_sdf_fits_faster_than_fourier(self):
+        import optax
+        from neural_raytracing_tpu.nn.hash_encoding import HashSDF
+        from neural_raytracing_tpu.shapes import SDF, prime
+
+        target = lambda p: jnp.linalg.norm(
+            p - jnp.asarray([0.2, 0.0, 0.0]), axis=-1) - 0.6
+        sdf = SDF(HashSDF())
+        params = sdf.init(jax.random.PRNGKey(0))
+        params, loss = prime(sdf, params, target, jax.random.PRNGKey(1),
+                             lr=5e-3, iters=300, batch_size=1024,
+                             lo=-1.0, hi=1.0)
+        assert float(loss) < 1e-3, float(loss)
