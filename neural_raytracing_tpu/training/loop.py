@@ -148,6 +148,25 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
     losses = []
     t0 = time.time()
     rays_done = 0
+    # the loss scalar is resolved ONE step behind so the host never blocks
+    # on the device mid-pipeline (matters on high-latency interconnects)
+    pending = None
+
+    def resolve(pending, i):
+        p_idxs, p_loss = pending
+        loss = float(p_loss)
+        if not np.isfinite(loss):
+            raise FloatingPointError(f"Unexpected NaN loss at step {i - 1}")
+        losses.append(loss)
+        selector.update_idxs(p_idxs, loss)
+        if log_every and ((i - 1) % log_every) == 0:
+            dt = time.time() - t0
+            rps = rays_done / max(dt, 1e-9)
+            log_fn(f"step {i - 1:6d} loss {loss:.5f} rays/s {rps:,.0f}")
+        if metrics is not None:
+            metrics.append({"step": i - 1, "loss": loss,
+                            "rays_per_sec": rays_done / max(
+                                time.time() - t0, 1e-9)})
 
     for i in range(iters):
         idxs = selector.sample(n=n_views)
@@ -167,24 +186,16 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
         state, aux = step_fn(state, camera,
                              (jnp.float32(u), jnp.float32(v)), exp, mask,
                              skey)
-        loss = float(aux["loss"])
-        if not np.isfinite(loss):
-            raise FloatingPointError(f"Unexpected NaN loss at step {i}")
-        losses.append(loss)
-        selector.update_idxs(idxs, loss)
         rays_done += n_views * crop_size * crop_size * bundle_size
+        if pending is not None:
+            resolve(pending, i)
+        pending = (idxs, aux["loss"])
 
-        if log_every and (i % log_every) == 0:
-            dt = time.time() - t0
-            rps = rays_done / max(dt, 1e-9)
-            log_fn(f"step {i:6d} loss {loss:.5f} rays/s {rps:,.0f}")
-        if metrics is not None:
-            metrics.append({"step": i, "loss": loss,
-                            "rays_per_sec": rays_done / max(
-                                time.time() - t0, 1e-9)})
         if save_fn is not None and ckpt_freq and (i % ckpt_freq) == 0 and i:
             save_fn(state, i)
         if valid_fn is not None and valid_freq and (i % valid_freq) == 0:
             valid_fn(state, i)
 
+    if pending is not None:
+        resolve(pending, iters)
     return state, losses

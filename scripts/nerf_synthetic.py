@@ -14,15 +14,20 @@ import numpy as np
 from _common import base_parser, force_cpu_if_requested, save_image
 
 
-def build_scene(max_steps=64):
+def build_scene(max_steps=64, surface="spheres"):
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
     from neural_raytracing_tpu.lights import LightField
     from neural_raytracing_tpu.shapes import SDF, SphereSDF
 
+    if surface == "hash":
+        from neural_raytracing_tpu.nn.hash_encoding import HashSDF
+        module = HashSDF()
+    else:
+        module = SphereSDF(n=128)
     return nrt.Scene(
-        shape=SDF(SphereSDF(n=128), max_steps=max_steps,
-                  throughput_steps=128, dist=2.2),
+        shape=SDF(module, max_steps=max_steps, throughput_steps=128,
+                  dist=2.2),
         bsdf=ComposeSpatialVarying(
             [NeuralBSDF(activation="softplus") for _ in range(8)]),
         lights=LightField())
@@ -37,6 +42,10 @@ def main():
     ap.add_argument("--bsdf-lr", type=float, default=8e-4)
     ap.add_argument("--light-lr", type=float, default=8e-5)
     ap.add_argument("--test-max-steps", type=int, default=256)
+    ap.add_argument("--surface", type=str, default="spheres",
+                    choices=["spheres", "hash"],
+                    help="surface model: reference SphereSDF or the "
+                         "hash-encoding HashSDF extension")
     args = ap.parse_args()
     force_cpu_if_requested(args)
 
@@ -53,7 +62,7 @@ def main():
     print(f"{name}, Size: {args.size}, Iters: {args.iters}")
     data = load_nerf_synthetic(args.data, args.size, "train")
 
-    scene = build_scene(max_steps=64)
+    scene = build_scene(max_steps=64, surface=args.surface)
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
                           "lights": args.light_lr})
     state = init_train_state(scene, opt, jax.random.PRNGKey(args.seed))
@@ -86,7 +95,8 @@ def main():
     if not args.skip_test:
         print("Running on test set")
         test = load_nerf_synthetic(args.data, args.size, "test")
-        test_scene = build_scene(max_steps=args.test_max_steps)
+        test_scene = build_scene(max_steps=args.test_max_steps,
+                                 surface=args.surface)
         evaluate(
             test_scene, state.params,
             lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],
