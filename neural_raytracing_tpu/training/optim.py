@@ -22,8 +22,16 @@ import optax
 def make_optimizer(lrs: Dict[str, float], default_lr: float = 1e-4,
                    weight_decay: float = 0.0,
                    b1: float = 0.9, b2: float = 0.999,
-                   eps: float = 1e-8) -> optax.GradientTransformation:
-    """AdamW with a separate learning rate per top-level params key."""
+                   eps: float = 1e-8,
+                   clip_norm: Optional[float] = None
+                   ) -> optax.GradientTransformation:
+    """AdamW with a separate learning rate per top-level params key.
+
+    ``clip_norm`` optionally clips the GLOBAL gradient norm first — the
+    reference has no clipping, but long colocated-light runs can spike
+    (observed divergence ~5k steps in); a loose clip (e.g. 10) stabilizes
+    without changing healthy steps.
+    """
 
     def adamw(lr):
         return optax.adamw(lr, b1=b1, b2=b2, eps=eps,
@@ -36,7 +44,10 @@ def make_optimizer(lrs: Dict[str, float], default_lr: float = 1e-4,
         return {k: (k if k in transforms else "__default__")
                 for k in params.keys()}
 
-    return optax.multi_transform(transforms, label_fn)
+    tx = optax.multi_transform(transforms, label_fn)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
 
 
 def global_norm(tree) -> jax.Array:

@@ -52,6 +52,8 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
                     help="force the CPU backend (8 virtual devices)")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard the view axis over all local devices")
+    ap.add_argument("--clip-norm", type=float, default=None,
+                    help="optional global gradient-norm clip")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--skip-test", action="store_true")

@@ -72,7 +72,8 @@ def main():
 
     scene = build_scene()
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
-                          "lights": args.light_lr, "occ": args.bsdf_lr})
+                          "lights": args.light_lr, "occ": args.bsdf_lr},
+                         clip_norm=args.clip_norm)
     state = init_train_state(scene, opt, jax.random.PRNGKey(args.seed))
     model_dir = f"{args.models}/colocate_{args.kind}"
     if args.load:

@@ -57,7 +57,8 @@ def main():
 
     scene = build_scene()
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
-                          "lights": args.light_lr})
+                          "lights": args.light_lr},
+                          clip_norm=args.clip_norm)
     state = init_train_state(scene, opt, jax.random.PRNGKey(args.seed))
     model_dir = f"{args.models}/dtu_{name}"
     if args.load:

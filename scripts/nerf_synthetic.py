@@ -64,7 +64,8 @@ def main():
 
     scene = build_scene(max_steps=64, surface=args.surface)
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
-                          "lights": args.light_lr})
+                          "lights": args.light_lr},
+                          clip_norm=args.clip_norm)
     state = init_train_state(scene, opt, jax.random.PRNGKey(args.seed))
     model_dir = f"{args.models}/{name}"
     if args.load:

@@ -56,7 +56,8 @@ def main():
 
     scene = build_scene(dist=args.dist)
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
-                          "lights": args.light_lr, "occ": args.bsdf_lr})
+                          "lights": args.light_lr, "occ": args.bsdf_lr},
+                         clip_norm=args.clip_norm)
     state = init_train_state(scene, opt, jax.random.PRNGKey(args.seed))
     model_dir = f"{args.models}/nerv_{name}"
     if args.load:
