@@ -46,15 +46,19 @@ def main():
                     choices=["spheres", "hash"],
                     help="surface model: reference SphereSDF or the "
                          "hash-encoding HashSDF extension")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume params + optimizer state + step")
     args = ap.parse_args()
     force_cpu_if_requested(args)
+
+    import os
 
     import jax
     from neural_raytracing_tpu.cameras import NeRFCamera
     from neural_raytracing_tpu.integrators import Direct
     from neural_raytracing_tpu.training import (
-        evaluate, init_train_state, load_scene, make_optimizer, save_scene,
-        train,
+        evaluate, init_train_state, load_scene, load_train_state,
+        make_optimizer, save_scene, save_train_state, train,
     )
     from neural_raytracing_tpu.training.datasets import load_nerf_synthetic
 
@@ -68,7 +72,16 @@ def main():
                           clip_norm=args.clip_norm)
     state = init_train_state(scene, opt, jax.random.PRNGKey(args.seed))
     model_dir = f"{args.models}/{name}"
-    if args.load:
+    state_path = os.path.join(model_dir, "train_state.msgpack")
+    if args.resume and os.path.exists(state_path):
+        # full resume: params + OPTIMIZER STATE + step (the reference could
+        # only reload params and restarted AdamW)
+        params, opt_state, step = load_train_state(state_path, state.params,
+                                                   state.opt_state)
+        state = state._replace(params=params, opt_state=opt_state,
+                               step=jax.numpy.int32(step))
+        print(f"resumed from step {step}")
+    elif args.load:
         state = state._replace(params=load_scene(model_dir, state.params))
 
     c2ws = data.cam_to_worlds
@@ -89,9 +102,13 @@ def main():
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
             size=args.size, crop_size=args.crop_size, iters=args.iters,
             n_views=args.n_views, log_every=args.log_every, mesh=mesh,
-            save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
+            save_fn=lambda st, i: (
+                save_scene(model_dir, st.params, step=i),
+                save_train_state(state_path, st.params, st.opt_state, i)),
             ckpt_freq=max(args.iters // 5 - 1, 1))
         save_scene(model_dir, state.params, step=args.iters)
+        save_train_state(state_path, state.params, state.opt_state,
+                         args.iters)
 
     if not args.skip_test:
         print("Running on test set")
