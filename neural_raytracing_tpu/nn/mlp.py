@@ -97,7 +97,7 @@ class SkipConnMLP:
                  hidden_size: int = 64, skip: int = 3, freqs: int = 16,
                  sigma: float = 32.0, latent_size: int = 0,
                  activation="leaky_relu", init: str = "uniform",
-                 compute_dtype=jnp.float32):
+                 zero_out: bool = False, compute_dtype=jnp.float32):
         self.in_size = in_size
         self.out_size = out
         self.num_layers = num_layers
@@ -109,6 +109,10 @@ class SkipConnMLP:
         self.activation = resolve_activation(activation)
         self.activation_name = activation_name(activation)
         self.init_mode = init
+        # zero only the output layer: function starts at 0 while hidden
+        # layers keep healthy gradients (prevents sigmoid-head saturation
+        # collapse observed in long spatially-varying-BSDF runs)
+        self.zero_out = zero_out
         self.compute_dtype = compute_dtype
 
         self.enc_size = fourier_size(freqs, in_size)
@@ -126,13 +130,14 @@ class SkipConnMLP:
                 self.skip_size if self._is_skip_layer(i) else self.hidden_size,
                 self.hidden_size, self.init_mode)
             for i in range(self.num_layers))
+        out = _linear_init(keys[-2], self.hidden_size, self.out_size,
+                           "zeros" if self.zero_out else self.init_mode)
         return {
             "B": fourier_basis(keys[-1], self.freqs, self.in_size, self.sigma),
             "init": _linear_init(keys[-3], self.dim_p, self.hidden_size,
                                  self.init_mode),
             "layers": layers,
-            "out": _linear_init(keys[-2], self.hidden_size, self.out_size,
-                                self.init_mode),
+            "out": out,
         }
 
     def __call__(self, params: dict, p: jax.Array,

@@ -104,6 +104,22 @@ def rand_uv(rng: np.random.Generator, w: int, h: int, size: int):
             int(rng.integers(0, h - size + 1)))
 
 
+def rand_uv_mask(rng: np.random.Generator, mask: np.ndarray, size: int):
+    """Crop corner centered on a random nonzero mask pixel (utils.py:378-383).
+
+    Falls back to a uniform crop when the mask interior is empty.
+    """
+    h, w = mask.shape[:2]
+    half = size // 2
+    ys, xs = np.nonzero(np.asarray(mask) > 0.5)
+    if len(ys) == 0:
+        return rand_uv(rng, h, w, size)
+    i = int(rng.integers(0, len(ys)))
+    u = int(np.clip(ys[i] - half, 0, h - size))
+    v = int(np.clip(xs[i] - half, 0, w - size))
+    return u, v
+
+
 def train(scene: Scene, integrator, optimizer, state: TrainState,
           make_camera: Callable, exp_imgs: np.ndarray, exp_masks: np.ndarray,
           key, *, size: int, crop_size: int, iters: int, n_views: int = 3,
@@ -115,7 +131,8 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
           valid_freq: int = 0, valid_fn: Optional[Callable] = None,
           log_every: int = 100, log_fn: Callable = print,
           metrics: Optional[list] = None,
-          mesh=None, seed: int = 0, step_fn=None):
+          mesh=None, seed: int = 0, step_fn=None,
+          uv_select: Optional[Callable] = None):
     """Generic host training loop shared by all dataset harnesses.
 
     ``make_camera(idxs) -> camera pytree`` builds the view batch;
@@ -171,7 +188,10 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
     for i in range(iters):
         idxs = selector.sample(n=n_views)
         camera = make_camera(idxs)
-        u, v = rand_uv(rng, size, size, crop_size)
+        if uv_select is not None:
+            u, v = uv_select(rng, exp_masks[idxs[0]], crop_size)
+        else:
+            u, v = rand_uv(rng, size, size, crop_size)
         exp = jnp.asarray(exp_imgs[idxs, u:u + crop_size, v:v + crop_size, :3])
         mask = jnp.asarray(exp_masks[idxs, u:u + crop_size, v:v + crop_size])
         key, skey = jax.random.split(key)

@@ -15,23 +15,33 @@ import numpy as np
 from _common import base_parser, force_cpu_if_requested, save_image
 
 
-def build_scene(max_steps=64):
+def build_scene(max_steps=64, stable_init=False):
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import (
         ComposeSpatialVarying, Conductor, Diffuse, NeuralBSDF,
     )
+    from neural_raytracing_tpu.kernels import FusedSkipConnMLP
     from neural_raytracing_tpu.lights import PointLights
     from neural_raytracing_tpu.shapes import SDF, SphereSDF
 
+    bases = [
+        NeuralBSDF(activation="softplus"),
+        NeuralBSDF(activation="softplus"),
+        Diffuse(),
+        Conductor(),
+    ]
+    sp_var_fn = None
+    if stable_init:
+        # zero-out head: mixture weights start at 0.5 everywhere instead of
+        # xavier noise (prevents the sigmoid-saturation collapse seen in
+        # long runs; the reference's all-xavier init is the default)
+        sp_var_fn = FusedSkipConnMLP(
+            in_size=3, out=len(bases), num_layers=16, hidden_size=256,
+            freqs=128, sigma=128.0, init="xavier", zero_out=True)
     return nrt.Scene(
         shape=SDF(SphereSDF(n=128), max_steps=max_steps,
                   throughput_steps=128, dist=2.2),
-        bsdf=ComposeSpatialVarying([
-            NeuralBSDF(activation="softplus"),
-            NeuralBSDF(activation="softplus"),
-            Diffuse(),
-            Conductor(),
-        ]),
+        bsdf=ComposeSpatialVarying(bases, sp_var_fn=sp_var_fn),
         lights=PointLights(scale=5.0),
         occlusion="learned")
 
@@ -43,6 +53,11 @@ def main():
                     choices=["bunny", "buddha", "teapot", "armadillo"])
     ap.add_argument("--n-elev", type=int, default=8)
     ap.add_argument("--n-azim", type=int, default=8)
+    ap.add_argument("--stable-init", action="store_true",
+                    help="zero-out weight-net head (collapse-resistant)")
+    ap.add_argument("--relight-data", type=str, default=None,
+                    help="dir with gt_{kind}_{i}_{j}_{k}_{l}.png relight "
+                         "grid (test_colocate_resources equivalent)")
     ap.add_argument("--surface-lr", type=float, default=8e-5)
     ap.add_argument("--bsdf-lr", type=float, default=8e-4)
     ap.add_argument("--light-lr", type=float, default=8e-5)
@@ -70,7 +85,7 @@ def main():
     cams = FoVPerspectiveCamera(R=r, T=t)
     centers = np.asarray(cams.camera_center())
 
-    scene = build_scene()
+    scene = build_scene(stable_init=args.stable_init)
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
                           "lights": args.light_lr, "occ": args.bsdf_lr},
                          clip_norm=args.clip_norm)
@@ -103,7 +118,9 @@ def main():
 
     if not args.skip_test:
         # test with hard shadows instead of the learned occlusion
-        test_scene = build_scene(max_steps=128).replace(occlusion="hard")
+        test_scene = build_scene(max_steps=128,
+                                 stable_init=args.stable_init)\
+            .replace(occlusion="hard")
 
         def eval_light_update(params, camera, i):
             return light_update(params, camera, [i])
@@ -115,6 +132,47 @@ def main():
             light_update=eval_light_update,
             save_fn=lambda i, im: save_image(
                 f"{args.outputs}/colocate_{args.kind}_test_{i:02}.png", im))
+
+    if args.relight_data is not None:
+        # novel-light generalization: 4x4 cameras x 3x3 light positions
+        # (the reference's test_colocate_resources grid,
+        # training_utils.py:538-570 / mitsuba gt.py:29-46)
+        from neural_raytracing_tpu.ops.math import mse2psnr
+        from neural_raytracing_tpu.training.datasets import (
+            load_colocate_relight_grid,
+        )
+
+        grid = load_colocate_relight_grid(args.relight_data, args.kind,
+                                          args.size)
+        cam_elevs = np.linspace(0.0, 45.0, 4)
+        cam_azims = np.linspace(-135.0, 135.0, 4)
+        light_elevs = np.linspace(10.0, 60.0, 3)
+        light_azims = np.linspace(-90.0, 90.0, 3)
+        test_scene = build_scene(max_steps=128).replace(occlusion="hard")
+        psnrs = []
+        for (i, j, k, l), gt_img in sorted(grid.items()):
+            r, t = look_at_view_transform(dist=1.0, elev=cam_elevs[i],
+                                          azim=cam_azims[j])
+            cam = FoVPerspectiveCamera(R=r, T=t)
+            lr_, lt_ = look_at_view_transform(dist=1.05,
+                                              elev=light_elevs[k],
+                                              azim=light_azims[l])
+            loc = np.asarray(
+                FoVPerspectiveCamera(R=lr_, T=lt_).camera_center())
+            p = dict(state.params)
+            p["lights"] = dict(p["lights"], location=jnp.asarray(loc))
+            img, _ = nrt.pathtrace(test_scene, p, cam,
+                                   Direct(training=False), size=args.size,
+                                   chunk_size=min(args.size, 100),
+                                   background=0.0,
+                                   key=jax.random.PRNGKey(i * 64 + j))
+            got = np.clip(np.asarray(img)[..., :3], 0, 1)
+            l2 = float(np.mean((got - gt_img[..., :3]) ** 2))
+            psnrs.append(float(mse2psnr(jnp.asarray(l2))))
+            save_image(f"{args.outputs}/relight_{args.kind}_"
+                       f"{i}_{j}_{k}_{l}.png", got)
+        print(f"relight grid: {len(psnrs)} renders, "
+              f"avg PSNR {np.mean(psnrs):.3f}")
 
 
 if __name__ == "__main__":

@@ -43,8 +43,8 @@ def main():
     from neural_raytracing_tpu.cameras import DTUCamera
     from neural_raytracing_tpu.integrators import Direct
     from neural_raytracing_tpu.training import (
-        evaluate, init_train_state, load_scene, make_optimizer, save_scene,
-        train,
+        evaluate, init_train_state, load_scene, make_optimizer,
+        rand_uv_mask, save_scene, train,
     )
     from neural_raytracing_tpu.training.datasets import load_dtu
 
@@ -76,6 +76,7 @@ def main():
             data.images[train_idx], data.masks[train_idx],
             jax.random.PRNGKey(args.seed + 1), size=args.size,
             crop_size=args.crop_size, iters=args.iters,
+            uv_select=rand_uv_mask,
             n_views=args.n_views, log_every=args.log_every,
             save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
             ckpt_freq=max(args.iters // 5 - 1, 1))
