@@ -28,13 +28,19 @@ from ..ops.dirs import dir_to_elev_azim, elev_azim_to_dir
 
 
 def volumetric_integrate(sigma: jax.Array, rgb: jax.Array,
-                         ts: jax.Array) -> jax.Array:
+                         ts: jax.Array, fused: str = "auto") -> jax.Array:
     """Composite ``[T, ...]`` densities and ``[T, ..., 3]`` colors.
 
     Parity note: like the reference, alpha uses the absolute sample position
     ``t`` (not the inter-sample delta): ``alpha = 1 - exp(-sigma * t)``.
+    On TPU the fused Pallas compositing kernel is used (``fused="auto"``).
     """
-    shape = sigma.shape
+    if fused != "off" and rgb.shape[-1] == 3:
+        from ..kernels.fused_mlp import on_tpu
+        if fused == "force" or on_tpu():
+            from ..kernels.composite import volumetric_integrate_fused
+            return volumetric_integrate_fused(
+                sigma, rgb, ts, interpret=(fused == "force" and not on_tpu()))
     t_exp = ts.reshape((ts.shape[0],) + (1,) * (sigma.ndim - 1))
     alpha = 1.0 - jnp.exp(-sigma * t_exp)
     trans = jnp.cumprod(jnp.maximum(1.0 - alpha, 1e-10), axis=0)

@@ -133,3 +133,38 @@ class TestPallasBackwardKernel:
                                        atol=2e-4, rtol=1e-3)
         np.testing.assert_allclose(np.asarray(gxa), np.asarray(gxb),
                                    atol=2e-4, rtol=1e-3)
+
+
+class TestFusedComposite:
+    def test_matches_jnp_compositing(self):
+        from neural_raytracing_tpu.kernels.composite import (
+            volumetric_integrate_fused,
+        )
+        from neural_raytracing_tpu.shapes.nerf import volumetric_integrate
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        t, n = 24, 37
+        sigma = jax.nn.relu(jax.random.normal(k1, (t, n)))
+        rgb = jax.nn.sigmoid(jax.random.normal(k2, (t, n, 3)))
+        ts = jnp.linspace(0.1, 2.0, t)
+        ref = volumetric_integrate(sigma, rgb, ts)
+        got = volumetric_integrate_fused(sigma, rgb, ts, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_gradients_match(self):
+        from neural_raytracing_tpu.kernels.composite import (
+            volumetric_integrate_fused,
+        )
+        from neural_raytracing_tpu.shapes.nerf import volumetric_integrate
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        t, n = 8, 16
+        sigma = jax.nn.relu(jax.random.normal(k1, (t, n)))
+        rgb = jax.nn.sigmoid(jax.random.normal(k2, (t, n, 3)))
+        ts = jnp.linspace(0.1, 1.5, t)
+
+        ga = jax.grad(lambda s: jnp.sum(
+            jnp.square(volumetric_integrate(s, rgb, ts))))(sigma)
+        gb = jax.grad(lambda s: jnp.sum(jnp.square(
+            volumetric_integrate_fused(s, rgb, ts, interpret=True))))(sigma)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-4, rtol=1e-3)
