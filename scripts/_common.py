@@ -17,6 +17,19 @@ def force_cpu_if_requested(args):
                               "--xla_force_host_platform_device_count=8")
         import jax
         jax.config.update("jax_platforms", "cpu")
+    enable_compile_cache()
+
+
+def enable_compile_cache(path: str = None):
+    """Persistent compilation cache: repeat script runs skip recompiles."""
+    import jax
+    path = path or os.environ.get("NRT_COMPILE_CACHE",
+                                  os.path.expanduser("~/.nrt_jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the knobs
 
 
 def save_image(path: str, img) -> None:

@@ -15,7 +15,7 @@ import numpy as np
 from _common import base_parser, force_cpu_if_requested, save_image
 
 
-def build_scene(max_steps=64, stable_init=False):
+def build_scene(max_steps=64, stable_init=False, light_scale=5.0):
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import (
         ComposeSpatialVarying, Conductor, Diffuse, NeuralBSDF,
@@ -42,7 +42,7 @@ def build_scene(max_steps=64, stable_init=False):
         shape=SDF(SphereSDF(n=128), max_steps=max_steps,
                   throughput_steps=128, dist=2.2),
         bsdf=ComposeSpatialVarying(bases, sp_var_fn=sp_var_fn),
-        lights=PointLights(scale=5.0),
+        lights=PointLights(scale=light_scale),
         occlusion="learned")
 
 
@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--n-azim", type=int, default=8)
     ap.add_argument("--stable-init", action="store_true",
                     help="zero-out weight-net head (collapse-resistant)")
+    ap.add_argument("--light-scale", type=float, default=5.0,
+                    help="initial learnable light scale (reference: 5)")
     ap.add_argument("--relight-data", type=str, default=None,
                     help="dir with gt_{kind}_{i}_{j}_{k}_{l}.png relight "
                          "grid (test_colocate_resources equivalent)")
@@ -85,7 +87,8 @@ def main():
     cams = FoVPerspectiveCamera(R=r, T=t)
     centers = np.asarray(cams.camera_center())
 
-    scene = build_scene(stable_init=args.stable_init)
+    scene = build_scene(stable_init=args.stable_init,
+                        light_scale=args.light_scale)
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
                           "lights": args.light_lr, "occ": args.bsdf_lr},
                          clip_norm=args.clip_norm)
@@ -119,7 +122,8 @@ def main():
     if not args.skip_test:
         # test with hard shadows instead of the learned occlusion
         test_scene = build_scene(max_steps=128,
-                                 stable_init=args.stable_init)\
+                                 stable_init=args.stable_init,
+                                 light_scale=args.light_scale)\
             .replace(occlusion="hard")
 
         def eval_light_update(params, camera, i):

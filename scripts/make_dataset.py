@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--n-azim", type=int, default=8)
     ap.add_argument("--relight", action="store_true",
                     help="also render the 4x4 cam x 3x3 light GT grid")
+    ap.add_argument("--light-scale", type=float, default=1.5,
+                    help="point-light scale; keep low enough that the GT "
+                         "is not clipped at 1.0 (saturated GT destabilizes "
+                         "inverse rendering)")
     ap.set_defaults(size=200)
     args = ap.parse_args()
     force_cpu_if_requested(args)
@@ -105,7 +109,7 @@ def main():
         [Diffuse((0.7, 0.3, 0.2)), Diffuse((0.2, 0.4, 0.7)), Conductor()],
         sp_var_fn=SkipConnMLP(in_size=3, out=3, num_layers=2, hidden_size=32,
                               freqs=8, sigma=8.0))
-    lights = PointLights(scale=5.0)
+    lights = PointLights(scale=args.light_scale)
     scene = nrt.Scene(shape=shape, bsdf=bsdf, lights=lights,
                       occlusion="hard")
     params = scene.init(jax.random.PRNGKey(7))
