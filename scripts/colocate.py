@@ -61,7 +61,7 @@ def main():
                     help="dir with gt_{kind}_{i}_{j}_{k}_{l}.png relight "
                          "grid (test_colocate_resources equivalent)")
     ap.add_argument("--surface-lr", type=float, default=8e-5)
-    ap.add_argument("--bsdf-lr", type=float, default=8e-4)
+    ap.add_argument("--bsdf-lr", type=float, default=8e-5)  # colocate.py:87
     ap.add_argument("--light-lr", type=float, default=8e-5)
     ap.set_defaults(size=200, crop_size=64, n_views=4)
     args = ap.parse_args()
@@ -108,12 +108,22 @@ def main():
         params["lights"] = dict(params["lights"], location=jnp.asarray(loc))
         return params
 
+    def extra_loss(it, got, exp, mask):
+        # eikonal + weight-diversity regularizer (colocate.py:97-106)
+        from neural_raytracing_tpu.ops.math import eikonal_loss
+        loss = eikonal_loss(it.raw_normals)
+        if it.normalized_weights is not None:
+            loss = loss + 1e-2 * jnp.mean(
+                jnp.std(it.normalized_weights, axis=-1))
+        return loss
+
     if args.iters > 0:
         state, _ = train(
             scene, Direct(training=True), opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
             size=args.size, crop_size=args.crop_size, iters=args.iters,
             n_views=args.n_views, light_update=light_update,
+            extra_loss=extra_loss,
             log_every=args.log_every,
             save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
             ckpt_freq=max(args.iters // 5 - 1, 1))

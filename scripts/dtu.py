@@ -31,7 +31,7 @@ def main():
     ap = base_parser(__doc__)
     ap.add_argument("--data", type=str, required=True)
     ap.add_argument("--surface-lr", type=float, default=8e-5)
-    ap.add_argument("--bsdf-lr", type=float, default=8e-4)
+    ap.add_argument("--bsdf-lr", type=float, default=8e-5)  # dtu.py:124
     ap.add_argument("--light-lr", type=float, default=8e-5)
     ap.add_argument("--test-every", type=int, default=10,
                     help="every k-th view is held out (dtu.py:115-121)")

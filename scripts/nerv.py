@@ -33,9 +33,9 @@ def build_scene(max_steps=64, dist=2.2, occlusion="learned"):
 def main():
     ap = base_parser(__doc__)
     ap.add_argument("--data", type=str, required=True)
-    ap.add_argument("--surface-lr", type=float, default=8e-5)
-    ap.add_argument("--bsdf-lr", type=float, default=8e-4)
-    ap.add_argument("--light-lr", type=float, default=8e-5)
+    ap.add_argument("--surface-lr", type=float, default=4e-5)  # nerv.py:99
+    ap.add_argument("--bsdf-lr", type=float, default=4e-5)
+    ap.add_argument("--light-lr", type=float, default=4e-5)
     ap.add_argument("--dist", type=float, default=2.2)
     ap.set_defaults(size=200, crop_size=64, n_views=3)
     args = ap.parse_args()
