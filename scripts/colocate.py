@@ -113,8 +113,10 @@ def main():
         from neural_raytracing_tpu.ops.math import eikonal_loss
         loss = eikonal_loss(it.raw_normals)
         if it.normalized_weights is not None:
-            loss = loss + 1e-2 * jnp.mean(
-                jnp.std(it.normalized_weights, axis=-1))
+            # std via clamped sqrt: at zero-out init the variance is
+            # EXACTLY 0 and jnp.std's sqrt gradient would be NaN
+            var = jnp.var(it.normalized_weights, axis=-1)
+            loss = loss + 1e-2 * jnp.mean(jnp.sqrt(jnp.maximum(var, 1e-12)))
         return loss
 
     if args.iters > 0:
