@@ -183,7 +183,7 @@ def main():
                                    background=0.0,
                                    key=jax.random.PRNGKey(i * 64 + j))
             got = np.clip(np.asarray(img)[..., :3], 0, 1)
-            l2 = float(np.mean((got - gt_img[..., :3]) ** 2))
+            l2 = max(float(np.mean((got - gt_img[..., :3]) ** 2)), 1e-10)
             psnrs.append(float(mse2psnr(jnp.asarray(l2))))
             save_image(f"{args.outputs}/relight_{args.kind}_"
                        f"{i}_{j}_{k}_{l}.png", got)
