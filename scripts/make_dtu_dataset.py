@@ -1,0 +1,114 @@
+"""Generate a DTU/IDR-format dataset with our own renderer.
+
+Produces the exact on-disk layout `scripts/dtu.py` consumes: a
+``cameras.npz`` with ``world_mat_i = K [R | t]`` (+identity scale mats) and
+``image/`` + ``mask/`` directories — enabling end-to-end runs of the DTU
+pipeline (projection decomposition, DTUCamera ray-gen, masked training)
+without the real DTU scans.
+
+    python scripts/make_dtu_dataset.py --out /tmp/dtu_ds --views 16 --size 64
+"""
+
+import math
+import os
+
+import numpy as np
+
+from _common import base_parser, enable_compile_cache
+
+
+def main():
+    ap = base_parser(__doc__)
+    ap.add_argument("--out", type=str, required=True)
+    ap.add_argument("--views", type=int, default=16)
+    ap.add_argument("--kind", type=str, default="bunny")
+    ap.add_argument("--light-scale", type=float, default=1.5)
+    ap.set_defaults(size=64)
+    args = ap.parse_args()
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, Diffuse
+    from neural_raytracing_tpu.cameras import DTUCamera
+    from neural_raytracing_tpu.integrators import Direct, Mask
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.nn import SkipConnMLP
+    from make_dataset import procedural_shape
+
+    size = args.size
+    os.makedirs(os.path.join(args.out, "image"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "mask"), exist_ok=True)
+
+    scene = nrt.Scene(
+        shape=procedural_shape(args.kind),
+        bsdf=ComposeSpatialVarying(
+            [Diffuse((0.8, 0.3, 0.2)), Diffuse((0.2, 0.3, 0.8))],
+            sp_var_fn=SkipConnMLP(in_size=3, out=2, num_layers=2,
+                                  hidden_size=32, freqs=8, sigma=8.0)),
+        lights=PointLights(location=(0.5, 1.0, 1.0),
+                           scale=args.light_scale),
+        occlusion="hard")
+    params = scene.init(jax.random.PRNGKey(7))
+
+    # intrinsics in SOURCE pixel units (DTUCamera scales by src_size/size)
+    src_w = src_h = float(size)
+    K = np.eye(3, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 0.5 * src_w / math.tan(math.radians(30.0))
+    K[0, 2] = src_w / 2.0
+    K[1, 2] = src_h / 2.0
+
+    rng = np.random.default_rng(0)
+    cams = {}
+    for i in range(args.views):
+        elev = math.radians(rng.uniform(5, 45))
+        azim = math.radians(rng.uniform(-180, 180))
+        dist = 1.0
+        c = np.asarray([
+            dist * math.cos(elev) * math.sin(azim),
+            dist * math.sin(elev),
+            dist * math.cos(elev) * math.cos(azim),
+        ], np.float32)
+        # camera-to-world: +z looks at the origin (DTU/OpenCV convention)
+        forward = -c / np.linalg.norm(c)
+        right = np.cross(np.asarray([0.0, 1.0, 0.0]), forward)
+        right /= max(np.linalg.norm(right), 1e-9)
+        up = np.cross(forward, right)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 0] = right
+        pose[:3, 1] = up
+        pose[:3, 2] = forward
+        pose[:3, 3] = c
+        # world_mat = K [R | t], with [R|t] = world-to-camera
+        R = pose[:3, :3].T
+        t = -R @ c
+        P = np.eye(4, dtype=np.float32)
+        P[:3, :4] = K @ np.concatenate([R, t[:, None]], axis=1)
+        cams[f"world_mat_{i}"] = P
+        cams[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
+
+        cam = DTUCamera(pose=jnp.asarray(pose[None]),
+                        intrinsic=jnp.asarray(
+                            np.pad(K, ((0, 1), (0, 1)))[None]
+                            + np.diag([0.0, 0, 0, 1.0])[None]),
+                        src_size=jnp.asarray([src_w, src_h]))
+        img, _ = nrt.pathtrace(scene, params, cam,
+                               Mask(Direct(training=False)), size=size,
+                               chunk_size=size, background=0.0,
+                               key=jax.random.PRNGKey(i))
+        arr = np.clip(np.asarray(img), 0, 1)
+        Image.fromarray((arr[..., :3] * 255).astype(np.uint8)).save(
+            os.path.join(args.out, "image", f"{i:06}.png"))
+        Image.fromarray((arr[..., 3] * 255).astype(np.uint8)).save(
+            os.path.join(args.out, "mask", f"{i:06}.png"))
+        print(f"view {i + 1}/{args.views}")
+
+    np.savez(os.path.join(args.out, "cameras.npz"), **cams)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
