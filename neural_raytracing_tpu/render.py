@@ -31,6 +31,19 @@ def render_rays(scene: Scene, params: dict, rays: jax.Array, integrator,
     return integrator.sample(scene, params, rays, key=key, training=training)
 
 
+# Scene/integrator objects are jit STATIC args hashed by identity.  jax's
+# static-arg cache can FALSELY HIT when a dead static's id is recycled by a
+# new object (observed: an edited scene rendering the old scene's images).
+# Retaining a strong reference per object pins the ids for the process
+# lifetime (bounded: one entry per distinct scene/integrator).
+_STATIC_RETAIN: dict = {}
+
+
+def _retain(*objs):
+    for o in objs:
+        _STATIC_RETAIN[id(o)] = o
+
+
 def _tile_positions(x_start, y_start, chunk: int):
     """Pixel-position grid for one tile: [chunk, chunk, 2] = (y, x) coords."""
     xs = x_start + jnp.arange(chunk, dtype=jnp.float32)
@@ -71,6 +84,7 @@ def pathtrace(scene: Scene, params: dict, camera, integrator,
     """Full-image render; returns ``(images [N, W, H, dims], last it)``."""
     assert size % chunk_size == 0, \
         f"chunk_size must divide size ({size} % {chunk_size})"
+    _retain(scene, integrator)
     n = len(camera)
     dims = integrator.dims()
     out = np.full((n, size, size, dims), background, dtype=np.float32)
@@ -98,10 +112,6 @@ def pathtrace(scene: Scene, params: dict, camera, integrator,
     return out, it
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("scene", "integrator", "crop_size", "bundle_size",
-                     "size", "with_noise", "training"))
 def pathtrace_sample(scene: Scene, integrator, params: dict, camera,
                      uv, key, crop_size: int = 32,
                      bundle_size: int = 1, size: int = 256,
@@ -112,6 +122,21 @@ def pathtrace_sample(scene: Scene, integrator, params: dict, camera,
     calls this once per step with no retracing.
     Returns ``(values [N, S, S, bundle, dims], active, it)``.
     """
+    _retain(scene, integrator)
+    return _pathtrace_sample_jit(scene, integrator, params, camera, uv, key,
+                                 crop_size=crop_size,
+                                 bundle_size=bundle_size, size=size,
+                                 with_noise=with_noise, training=training)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scene", "integrator", "crop_size", "bundle_size",
+                     "size", "with_noise", "training"))
+def _pathtrace_sample_jit(scene: Scene, integrator, params: dict, camera,
+                          uv, key, crop_size: int = 32,
+                          bundle_size: int = 1, size: int = 256,
+                          with_noise=False, training: bool = True):
     u, v = uv
     positions = _tile_positions(jnp.float32(u), jnp.float32(v), crop_size)
     ckey = ikey = None

@@ -14,9 +14,10 @@ import numpy as np
 from _common import base_parser, force_cpu_if_requested, save_image
 
 
-def build_scene(max_steps=64, surface="spheres"):
+def build_scene(max_steps=64, surface="spheres", stable_init=False):
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
+    from neural_raytracing_tpu.kernels import FusedSkipConnMLP
     from neural_raytracing_tpu.lights import LightField
     from neural_raytracing_tpu.shapes import SDF, SphereSDF
 
@@ -25,11 +26,19 @@ def build_scene(max_steps=64, surface="spheres"):
         module = HashSDF()
     else:
         module = SphereSDF(n=128)
+    sp_var_fn = None
+    if stable_init:
+        # zero-out head: collapse-resistant start (weights all 0.5);
+        # see RESULTS.md on the sigmoid-saturation failure mode
+        sp_var_fn = FusedSkipConnMLP(
+            in_size=3, out=8, num_layers=16, hidden_size=256,
+            freqs=128, sigma=128.0, init="xavier", zero_out=True)
     return nrt.Scene(
         shape=SDF(module, max_steps=max_steps, throughput_steps=128,
                   dist=2.2),
         bsdf=ComposeSpatialVarying(
-            [NeuralBSDF(activation="softplus") for _ in range(8)]),
+            [NeuralBSDF(activation="softplus") for _ in range(8)],
+            sp_var_fn=sp_var_fn),
         lights=LightField())
 
 
@@ -48,6 +57,10 @@ def main():
                          "hash-encoding HashSDF extension")
     ap.add_argument("--resume", action="store_true",
                     help="resume params + optimizer state + step")
+    ap.add_argument("--stable-init", action="store_true",
+                    help="zero-out weight-net head (collapse-resistant)")
+    ap.add_argument("--weight-reg", type=float, default=0.0,
+                    help="weight-diversity regularizer coefficient")
     args = ap.parse_args()
     force_cpu_if_requested(args)
 
@@ -66,7 +79,8 @@ def main():
     print(f"{name}, Size: {args.size}, Iters: {args.iters}")
     data = load_nerf_synthetic(args.data, args.size, "train")
 
-    scene = build_scene(max_steps=64, surface=args.surface)
+    scene = build_scene(max_steps=64, surface=args.surface,
+                        stable_init=args.stable_init)
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
                           "lights": args.light_lr},
                           clip_norm=args.clip_norm)
@@ -96,12 +110,23 @@ def main():
         mesh = make_mesh()
         print(f"data-parallel over {mesh.devices.size} devices")
 
+    def extra_loss(it, got, exp, mask):
+        import jax.numpy as jnp
+        from neural_raytracing_tpu.ops.math import eikonal_loss
+        loss = eikonal_loss(it.raw_normals)
+        if args.weight_reg and it.normalized_weights is not None:
+            var = jnp.var(it.normalized_weights, axis=-1)
+            loss = loss + args.weight_reg * jnp.mean(
+                jnp.sqrt(jnp.maximum(var, 1e-12)))
+        return loss
+
     if args.iters > 0:
         state, _ = train(
             scene, Direct(training=True), opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
             size=args.size, crop_size=args.crop_size, iters=args.iters,
             n_views=args.n_views, log_every=args.log_every, mesh=mesh,
+            extra_loss=extra_loss,
             save_fn=lambda st, i: (
                 save_scene(model_dir, st.params, step=i),
                 save_train_state(state_path, st.params, st.opt_state, i)),
@@ -114,7 +139,8 @@ def main():
         print("Running on test set")
         test = load_nerf_synthetic(args.data, args.size, "test")
         test_scene = build_scene(max_steps=args.test_max_steps,
-                                 surface=args.surface)
+                                 surface=args.surface,
+                                 stable_init=args.stable_init)
         evaluate(
             test_scene, state.params,
             lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],
