@@ -246,6 +246,9 @@ class NeRFLE:
         latent = first_out[..., 1:]
         alpha = first_out[..., 0]
 
+        # per-view conditioning broadcasts [N, C] over [T, N, ..., C]:
+        # 1 leading None (T axis) + (ndim - 3) trailing Nones before C
+        extra = (None,) * max(latent.ndim - 3, 0)
         if self.envmap:
             probes = jnp.stack(jnp.meshgrid(
                 jnp.linspace(0.0, 180.0, self.bins),
@@ -254,15 +257,12 @@ class NeRFLE:
             light_encode = lights.envmap(light_params,
                                          elev_azim_to_dir(probes))
             n = light_encode.shape[0]
-            # [N_lights, bins^2, 3] -> broadcast over [T, N, ..., flat]
             flat = light_encode.reshape(n, -1)
-            extra = (None,) * (latent.ndim - 2)
             light_encode = jnp.broadcast_to(
                 flat[(None, slice(None)) + extra],
                 latent.shape[:-1] + (flat.shape[-1],))
         else:
             loc = light_params["location"]
-            extra = (None,) * (latent.ndim - 2)
             light_encode = jnp.broadcast_to(
                 loc[(None, slice(None)) + extra],
                 latent.shape[:-1] + (3,))

@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--kind", type=str, default="bunny")
-    ap.add_argument("--light-scale", type=float, default=1.5)
+    ap.add_argument("--light-scale", type=float, default=3.0)
     ap.set_defaults(size=64)
     args = ap.parse_args()
     enable_compile_cache()
@@ -49,7 +49,7 @@ def main():
             [Diffuse((0.8, 0.3, 0.2)), Diffuse((0.2, 0.3, 0.8))],
             sp_var_fn=SkipConnMLP(in_size=3, out=2, num_layers=2,
                                   hidden_size=32, freqs=8, sigma=8.0)),
-        lights=PointLights(location=(0.5, 1.0, 1.0),
+        lights=PointLights(location=(0.3, 0.6, 0.6),
                            scale=args.light_scale),
         occlusion="hard")
     params = scene.init(jax.random.PRNGKey(7))

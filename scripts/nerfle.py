@@ -18,6 +18,8 @@ def main():
     ap = base_parser(__doc__)
     ap.add_argument("--data", type=str, required=True)
     ap.add_argument("--kind", type=str, default="bunny")
+    ap.add_argument("--n-elev", type=int, default=8)
+    ap.add_argument("--n-azim", type=int, default=8)
     ap.add_argument("--envmap", action="store_true")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.set_defaults(size=200, crop_size=16, iters=300_000, n_views=4)
@@ -41,7 +43,8 @@ def main():
     )
     from neural_raytracing_tpu.training.datasets import load_colocate
 
-    data = load_colocate(args.data, args.kind, args.size)
+    data = load_colocate(args.data, args.kind, args.size,
+                         n_elev=args.n_elev, n_azim=args.n_azim)
     r, t = look_at_view_transform(dist=data.dist, elev=data.elevs,
                                   azim=data.azims)
     cams = FoVPerspectiveCamera(R=r, T=t)

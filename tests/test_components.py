@@ -230,3 +230,22 @@ class TestDiscriminator:
         g = jax.grad(lambda pp: jnp.sum(d(pp, x)))(p)
         assert all(np.isfinite(np.asarray(v)).all()
                    for v in jax.tree_util.tree_leaves(g))
+
+
+class TestNeRFLE:
+    def test_volume_render_both_conditionings(self):
+        from neural_raytracing_tpu.shapes import NeRFLE
+        from neural_raytracing_tpu.lights import PointLights
+        for envmap in (False, True):
+            nerf = NeRFLE(envmap=envmap, steps=4)
+            lights = PointLights(
+                location=np.zeros((3, 3)) + np.asarray([0.0, 1.0, 2.0]))
+            p = nerf.init(jax.random.PRNGKey(0))
+            lp = lights.init()
+            # structured [N, H, W, B, 6] rays like the render driver emits
+            rays = (jnp.zeros((3, 4, 4, 1, 6))
+                    .at[..., 5].set(-1.0).at[..., 2].set(2.0))
+            out = nerf.volume_render(p, rays, key=jax.random.PRNGKey(1),
+                                     lights=lights, light_params=lp)
+            assert out.shape == (3, 4, 4, 1, 3)
+            assert np.isfinite(np.asarray(out)).all()
