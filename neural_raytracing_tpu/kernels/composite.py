@@ -40,12 +40,15 @@ def _jnp_composite(sigma_rt, rgb_rt, ts):
 def _kernel(sigma_ref, r_ref, g_ref, b_ref, ts_ref, out_ref):
     sigma = sigma_ref[:]
     ts = ts_ref[:]
+    t = sigma.shape[-1]
     alpha = 1.0 - jnp.exp(-sigma * ts)
     log_om = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
-    csum = jnp.cumsum(log_om, axis=-1)
-    # exclusive: shift right by one sample (first transmittance = 1)
-    excl = jnp.concatenate(
-        [jnp.zeros_like(csum[:, :1]), csum[:, :-1]], axis=-1)
+    # EXCLUSIVE prefix sum as a strictly-lower-triangular matmul (Mosaic has
+    # no cumsum lowering; a [T, T] triangular dot on the MXU is cheap)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    tri_excl = (rows < cols).astype(jnp.float32)       # sum over j < i
+    excl = jnp.dot(log_om, tri_excl, preferred_element_type=jnp.float32)
     weights = alpha * jnp.exp(excl)
     out_ref[:] = jnp.stack([
         jnp.sum(weights * r_ref[:], axis=-1),

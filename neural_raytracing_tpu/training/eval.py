@@ -58,7 +58,8 @@ def evaluate(scene: Scene, params: dict, make_camera: Callable,
         l2 = float(np.mean((got - exp) ** 2))
         l1s.append(l1)
         l2s.append(l2)
-        psnrs.append(float(mse2psnr(jnp.asarray(l2))))
+        # clamp: an exactly-zero L2 (e.g. empty crops) would give inf PSNR
+        psnrs.append(float(mse2psnr(jnp.asarray(max(l2, 1e-10)))))
         got_all.append(got)
         exp_all.append(exp)
         if save_fn is not None:
