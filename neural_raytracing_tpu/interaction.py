@@ -11,7 +11,7 @@ All tensors share an arbitrary leading batch shape ``[...]`` (typically
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

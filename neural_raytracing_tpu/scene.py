@@ -17,7 +17,7 @@ checkpoint semantics that the editing workflows depend on).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
