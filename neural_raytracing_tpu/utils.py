@@ -30,6 +30,7 @@ def sphere_render_bsdf(bsdf, bsdf_params, integrator=None, size: int = 256,
         integrator = Direct(training=False)
     if key is None:
         key = jax.random.PRNGKey(0)
+    chunk_size = min(chunk_size, size)
     r, t = look_at_view_transform(dist=2.0, elev=0.0, azim=0.0)
     camera = FoVPerspectiveCamera(R=r, T=t)
     lights = PointLights(location=(0.0, 1.0, 4.0), scale=scale)
