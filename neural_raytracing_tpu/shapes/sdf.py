@@ -198,7 +198,8 @@ class SDF:
     def __init__(self, sdf_module=UNIT_SPHERE, epsilon: float = 1e-3,
                  max_steps: int = 32, dist: float = 2.2,
                  throughput_steps: int = 128, alpha: float = 1000.0,
-                 warp: Optional[Callable] = None):
+                 warp: Optional[Callable] = None,
+                 fused_loops: str = "auto", march_dtype=None):
         self.module = sdf_module
         self.epsilon = epsilon
         self.max_steps = max_steps
@@ -208,6 +209,29 @@ class SDF:
         # optional point-space warp applied before the sdf (scene editing:
         # bend/translate/scale compositions, test_nerf.py:59-103)
         self.warp = warp
+        # whole-loop Pallas kernels for the march / throughput min-scan
+        # (kernels/fused_march.py): "auto" on TPU, "force" (interpret
+        # off-TPU, for tests), or "off"
+        assert fused_loops in ("auto", "force", "off")
+        self.fused_loops = fused_loops
+        # matmul-operand dtype INSIDE the no-grad march/min-scan kernels
+        # only (accumulation stays f32; the differentiable hit-point /
+        # argmin evaluations, normals, and throughput value are a separate
+        # f32 path).  Default f32: bf16 operands measured ~5% SLOWER on
+        # v5e (Mosaic relayout cost at these small widths outweighs MXU
+        # gain); the knob stays for larger nets where the trade flips.
+        self.march_dtype = jnp.float32 if march_dtype is None else march_dtype
+
+    def _fused_loop_state(self):
+        """-> (use_fused_kernels, interpret) for this SDF's module."""
+        if self.fused_loops == "off" or self.warp is not None:
+            return False, False
+        from ..kernels import fused_march as fm
+        if not fm.supports(self.module):
+            return False, False
+        if self.fused_loops == "force":
+            return True, not fm.on_tpu()
+        return fm.on_tpu(), False
 
     def init(self, key: jax.Array):
         return self.module.init(key)
@@ -220,13 +244,22 @@ class SDF:
     def with_warp(self, warp: Callable) -> "SDF":
         """A view of this SDF with an extra point-space warp (editing API)."""
         out = SDF(self.module, self.epsilon, self.max_steps, self.dist,
-                  self.throughput_steps, self.alpha, warp=warp)
+                  self.throughput_steps, self.alpha, warp=warp,
+                  fused_loops=self.fused_loops,
+                  march_dtype=self.march_dtype)
         return out
 
     # ---- marching ----------------------------------------------------------
 
     def _march(self, params, r_o, r_d, max_t):
         """No-grad sphere trace. Returns (depths [...], hit mask [...])."""
+        use_fused, interpret = self._fused_loop_state()
+        if use_fused:
+            from ..kernels import fused_march as fm
+            return fm.fused_march(
+                self.module, params, r_o, r_d, max_t,
+                max_steps=self.max_steps, epsilon=self.epsilon,
+                compute_dtype=self.march_dtype, interpret=interpret)
         batch = r_o.shape[:-1]
         depths = jnp.zeros(batch, jnp.float32)
         remaining = jnp.ones(batch, bool)
@@ -262,20 +295,28 @@ class SDF:
         max_t = self.dist + jitter
         step = max_t / steps
 
-        def scan_body(carry, i):
-            curr_min, idxs = carry
-            t = step * (i + 1).astype(jnp.float32)
-            sd = self.sdf(params, r_o + t * r_d)
-            idxs = jnp.where(sd < curr_min, i + 1, idxs)
-            curr_min = jnp.minimum(curr_min, sd)
-            return (curr_min, idxs), None
+        use_fused, interpret = self._fused_loop_state()
+        if use_fused:
+            from ..kernels import fused_march as fm
+            idxs = fm.fused_min_scan(self.module, params, r_o, r_d, step,
+                                     steps=steps,
+                                     compute_dtype=self.march_dtype,
+                                     interpret=interpret)
+        else:
+            def scan_body(carry, i):
+                curr_min, idxs = carry
+                t = step * (i + 1).astype(jnp.float32)
+                sd = self.sdf(params, r_o + t * r_d)
+                idxs = jnp.where(sd < curr_min, i + 1, idxs)
+                curr_min = jnp.minimum(curr_min, sd)
+                return (curr_min, idxs), None
 
-        sd0 = self.sdf(params, r_o)
-        init = (sd0, jnp.zeros(sd0.shape, jnp.int32))
-        (curr_min, idxs), _ = lax.scan(
-            lambda c, i: scan_body(c, i), init, jnp.arange(steps))
-        idxs = lax.stop_gradient(idxs)
-        best_pos = r_o + (idxs.astype(jnp.float32) * step)[..., None] * r_d
+            sd0 = self.sdf(params, r_o)
+            init = (sd0, jnp.zeros(sd0.shape, jnp.int32))
+            (curr_min, idxs), _ = lax.scan(
+                lambda c, i: scan_body(c, i), init, jnp.arange(steps))
+            idxs = lax.stop_gradient(idxs).astype(jnp.float32)
+        best_pos = r_o + (idxs * step)[..., None] * r_d
         best_pos = lax.stop_gradient(best_pos)
         return self.sdf(params, best_pos), best_pos
 

@@ -168,3 +168,109 @@ class TestFusedComposite:
             volumetric_integrate_fused(s, rgb, ts, interpret=True))))(sigma)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    atol=1e-4, rtol=1e-3)
+
+
+class TestFusedMarch:
+    """Whole-loop march / min-scan kernels vs the generic lax loops."""
+
+    def _sdfs(self, max_steps=6, throughput_steps=8):
+        from neural_raytracing_tpu.shapes import SDF, SphereSDF
+        mlp = SkipConnMLP(in_size=3, out=1, num_layers=2, hidden_size=32,
+                          freqs=8, activation="softplus", init="uniform")
+        module = SphereSDF(n=8, mlp=mlp)
+        params = module.init(jax.random.PRNGKey(0))
+        ref = SDF(module, max_steps=max_steps,
+                  throughput_steps=throughput_steps, fused_loops="off")
+        fused = SDF(module, max_steps=max_steps,
+                    throughput_steps=throughput_steps, fused_loops="force",
+                    march_dtype=jnp.float32)
+        return ref, fused, params
+
+    def _rays(self, n=70):
+        r_o = jnp.zeros((n, 3)).at[:, 2].set(2.0)
+        d = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 0.15
+        r_d = d.at[:, 2].add(-1.0)
+        r_d = r_d / jnp.linalg.norm(r_d, axis=-1, keepdims=True)
+        return r_o, r_d
+
+    def test_march_matches_generic(self):
+        ref, fused, params = self._sdfs()
+        r_o, r_d = self._rays()
+        from neural_raytracing_tpu.kernels import fused_march as fm
+        d_ref, h_ref = ref._march(params, r_o, r_d, 10.0)
+        d_f, h_f = fm.fused_march(fused.module, params, r_o, r_d, 10.0,
+                                  max_steps=6, epsilon=1e-3, block_rows=64,
+                                  interpret=True)
+        assert d_f.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_f))
+        np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_f),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_min_scan_matches_generic(self):
+        ref, fused, params = self._sdfs()
+        r_o, r_d = self._rays()
+        from neural_raytracing_tpu.kernels import fused_march as fm
+        # generic argmin indices via the reference scan
+        steps = ref.throughput_steps
+        step = ref.dist / steps
+        idx_f = fm.fused_min_scan(fused.module, params, r_o, r_d, step,
+                                  steps=steps, block_rows=64, interpret=True)
+        sd_ref, pos_ref = ref.throughput(params, r_o, r_d)
+        pos_fused = r_o + (idx_f * step)[..., None] * r_d
+        np.testing.assert_allclose(np.asarray(pos_ref), np.asarray(pos_fused),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_throughput_dispatch_and_grads(self):
+        ref, fused, params = self._sdfs()
+        r_o, r_d = self._rays(33)
+
+        def loss(sdf_obj, p):
+            sd, _ = sdf_obj.throughput(p, r_o, r_d)
+            return jnp.sum(jnp.square(sd))
+
+        a = loss(ref, params)
+        b = loss(fused, params)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+        ga = jax.grad(lambda p: loss(ref, p))(params)
+        gb = jax.grad(lambda p: loss(fused, p))(params)
+        for x, y in zip(jax.tree_util.tree_leaves(ga),
+                        jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_intersect_dispatch_matches(self):
+        ref, fused, params = self._sdfs()
+        r_o, r_d = self._rays(48)
+        rays = jnp.concatenate([r_o, r_d], axis=-1)
+        it_ref, hit_ref = ref.intersect(params, rays)
+        it_f, hit_f = fused.intersect(params, rays)
+        np.testing.assert_array_equal(np.asarray(hit_ref), np.asarray(hit_f))
+        np.testing.assert_allclose(np.asarray(it_ref.p), np.asarray(it_f.p),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(it_ref.throughput),
+                                   np.asarray(it_f.throughput),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_warp_disables_fused(self):
+        _, fused, params = self._sdfs()
+        warped = fused.with_warp(lambda p: p * 1.1)
+        use, _ = warped._fused_loop_state()
+        assert not use
+
+    def test_bf16_march_close_to_f32(self):
+        """bf16 matmul operands in the no-grad march: hits must agree and
+        depths stay within the marcher's own epsilon scale."""
+        ref, _, params = self._sdfs(max_steps=12)
+        r_o, r_d = self._rays(96)
+        from neural_raytracing_tpu.kernels import fused_march as fm
+        d_ref, h_ref = ref._march(params, r_o, r_d, 10.0)
+        d_b, h_b = fm.fused_march(ref.module, params, r_o, r_d, 10.0,
+                                  max_steps=12, epsilon=1e-3, block_rows=64,
+                                  compute_dtype=jnp.bfloat16, interpret=True)
+        agree = np.mean(np.asarray(h_ref) == np.asarray(h_b))
+        assert agree >= 0.95, agree
+        both = np.asarray(h_ref) & np.asarray(h_b)
+        if both.any():
+            err = np.abs(np.asarray(d_ref)[both] - np.asarray(d_b)[both])
+            assert np.median(err) < 2e-2, np.median(err)
