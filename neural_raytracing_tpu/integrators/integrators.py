@@ -49,6 +49,30 @@ class Integrator:
     def sample(self, scene, params, rays, key=None, training: bool = False):
         raise NotImplementedError
 
+    # Integrators are jit STATIC args (render._render_tile): with default
+    # identity hashing, writing e.g. ``pathtrace(..., Direct(training=False))``
+    # inside a loop silently recompiles the tile executable on every call.
+    # Config-based equality lets equal-config instances share the cache.
+    # Non-primitive attributes (wrapped nets/bsdfs) fall back to identity.
+    def _static_key(self):
+        items = []
+        for k in sorted(vars(self)):
+            v = vars(self)[k]
+            if isinstance(v, Integrator):
+                items.append((k, v._static_key()))
+            elif isinstance(v, (int, float, bool, str, type(None))):
+                items.append((k, v))
+            else:
+                items.append((k, id(v)))
+        return (type(self),) + tuple(items)
+
+    def __hash__(self):
+        return hash(self._static_key())
+
+    def __eq__(self, other):
+        return (type(other) is type(self)
+                and other._static_key() == self._static_key())
+
 
 class Debug(Integrator):
     """Shading normals mapped to [0, 1] colors."""

@@ -164,6 +164,50 @@ def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
     return kernel
 
 
+def _build_shadow_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
+                         epsilon: float, n_weights: int,
+                         compute_dtype=jnp.float32):
+    # exact replica of SDF.intersect_test's loop: depths start at 1e2*eps,
+    # strict < hit test, the hit step's distance IS applied, rays marching
+    # past max_t keep marching (the reference lets a negative-sdf overshoot
+    # pull a ray back).  Early exit only once every live lane has hit;
+    # padded / inactive lanes (zero direction) are excluded from the gate
+    # so they cannot hold a block hostage — their `remaining` stays True
+    # either way, which is exactly the generic loop's outcome for them.
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        ro_ref, rd_ref = refs[0], refs[1]
+        w_refs = refs[2:2 + n_weights]
+        depth_ref, rem_ref = refs[-2], refs[-1]
+        sdf_eval = _make_sdf_eval(mlp, k_smooth, w_refs, compute_dtype)
+
+        ro = ro_ref[:]
+        rd = rd_ref[:]
+        valid = (jnp.sum(jnp.abs(rd), axis=-1, keepdims=True) > 0.0)
+
+        depth_ref[:] = jnp.full_like(depth_ref, 1e2 * epsilon)
+        rem_ref[:] = jnp.ones_like(rem_ref)
+
+        def body(_, carry):
+            depths = depth_ref[:]
+            remaining = rem_ref[:] > 0.5
+
+            @pl.when(jnp.max((remaining & valid).astype(jnp.float32)) > 0.0)
+            def _():
+                sd = sdf_eval(ro + rd * depths)
+                hits = remaining & (sd < epsilon)
+                depth_ref[:] = jnp.where(remaining, depths + sd, depths)
+                rem_ref[:] = (remaining & jnp.logical_not(hits)).astype(
+                    jnp.float32)
+
+            return carry
+
+        lax.fori_loop(0, max_steps, body, 0)
+
+    return kernel
+
+
 def _build_minscan_kernel(mlp: SkipConnMLP, k_smooth: float, steps: int,
                           n_weights: int, compute_dtype=jnp.float32,
                           unroll: int = 4):
@@ -264,6 +308,35 @@ def fused_march(module, params, r_o, r_d, max_t, *, max_steps: int,
     )(maxt, flat_o, flat_d, *weights)
     return (depths[:n, 0].reshape(batches),
             hit[:n, 0].reshape(batches) > 0.5)
+
+
+def fused_shadow_march(module, params, r_o, r_d, max_t, *, max_steps: int,
+                       epsilon: float, block_rows: int = 512,
+                       compute_dtype=jnp.float32, interpret: bool = False):
+    """Whole shadow-march kernel. Returns not_blocked [...] — no grads."""
+    from jax.experimental import pallas as pl
+
+    params = lax.stop_gradient(params)
+    batches = r_o.shape[:-1]
+    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), batches)
+    flat_o, flat_d, n, n_pad = _pad_rays(r_o, r_d, block_rows)
+    weights = (_sphere_weight_arrays(params)
+               + _mlp_weight_arrays(params["shift"], compute_dtype))
+
+    row, in_specs = _specs(block_rows, weights, n_scalars=0)
+    depths, rem = pl.pallas_call(
+        _build_shadow_kernel(module.shift, module.k, max_steps, epsilon,
+                             len(weights), compute_dtype),
+        grid=(n_pad // block_rows,),
+        in_specs=in_specs,
+        out_specs=[row(1), row(1)],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)],
+        interpret=interpret,
+    )(flat_o, flat_d, *weights)
+    depths = depths[:n, 0].reshape(batches)
+    remaining = rem[:n, 0].reshape(batches) > 0.5
+    return lax.stop_gradient((depths >= max_t) | remaining)
 
 
 def fused_min_scan(module, params, r_o, r_d, step_size, *, steps: int,

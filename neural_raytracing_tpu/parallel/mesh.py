@@ -98,15 +98,19 @@ def sharded_render_rays(scene, params, rays, integrator, mesh: Mesh,
                                                        (pad,) + rays.shape[1:])])
     rays = jax.device_put(rays, data_sharding(mesh))
     params = replicate(params, mesh)
-
-    @functools.partial(jax.jit, static_argnums=())
-    def run(params, rays, key):
-        values, active, _ = integrator.sample(scene, params, rays, key=key,
-                                              training=training)
-        return values, active
-
-    values, active = run(params, rays, key)
+    values, active = _sharded_run(scene, integrator, params, rays, key,
+                                  training)
     return values[:r], active[:r]
+
+
+# module-level jit: repeated sharded_render_rays calls (the serving loop)
+# reuse one executable instead of re-jitting a fresh closure per call
+@functools.partial(jax.jit,
+                   static_argnames=("scene", "integrator", "training"))
+def _sharded_run(scene, integrator, params, rays, key, training: bool):
+    values, active, _ = integrator.sample(scene, params, rays, key=key,
+                                          training=training)
+    return values, active
 
 
 def make_parallel_train_step(scene, integrator, optimizer, mesh: Mesh, *,

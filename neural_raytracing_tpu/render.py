@@ -59,7 +59,7 @@ def _tile_positions(x_start, y_start, chunk: int):
     static_argnames=("scene", "integrator", "chunk", "bundle_size", "size",
                      "with_noise", "training"))
 def _render_tile(scene, integrator, params, camera, x_start, y_start,
-                 key, chunk: int, bundle_size: int, size: int,
+                 key, background, chunk: int, bundle_size: int, size: int,
                  with_noise, training: bool):
     positions = _tile_positions(x_start, y_start, chunk)
     ckey = ikey = None
@@ -70,10 +70,13 @@ def _render_tile(scene, integrator, params, camera, x_start, y_start,
                                    with_noise=with_noise)
     values, mask, it = integrator.sample(scene, params, rays, key=ikey,
                                          training=training)
-    # mean over the bundle dim; invalid pixels -> nan marker handled by caller
+    # mean over the bundle dim; background written in-device so the host
+    # loop can enqueue every tile before any transfer (tiles pipeline on
+    # the device instead of a host sync per tile)
     valid = jnp.any(mask, axis=-1)                       # [N, c, c]
     v = jnp.mean(values, axis=-2)                        # [N, c, c, dims]
-    return v, valid, it
+    v = jnp.where(valid[..., None], v, background)
+    return v, it
 
 
 def pathtrace(scene: Scene, params: dict, camera, integrator,
@@ -88,9 +91,11 @@ def pathtrace(scene: Scene, params: dict, camera, integrator,
     n = len(camera)
     dims = integrator.dims()
     out = np.full((n, size, size, dims), background, dtype=np.float32)
+    bg = jnp.float32(background)
 
     n_tiles = size // chunk_size
     it = None
+    tiles = []
     for ti in range(n_tiles):
         for tj in range(n_tiles):
             tkey = None
@@ -98,15 +103,15 @@ def pathtrace(scene: Scene, params: dict, camera, integrator,
                 tkey = jax.random.fold_in(key, ti * n_tiles + tj)
             x0 = jnp.float32(ti * chunk_size)
             y0 = jnp.float32(tj * chunk_size)
-            v, valid, it = _render_tile(
-                scene, integrator, params, camera, x0, y0, tkey,
+            v, it = _render_tile(
+                scene, integrator, params, camera, x0, y0, tkey, bg,
                 chunk=chunk_size, bundle_size=bundle_size, size=size,
                 with_noise=with_noise, training=training)
-            v = np.array(v)
-            valid = np.asarray(valid)
-            v[~valid] = background
-            out[:, ti * chunk_size:(ti + 1) * chunk_size,
-                tj * chunk_size:(tj + 1) * chunk_size, :] = v
+            tiles.append((ti, tj, v))
+    # single transfer pass after all tiles are enqueued
+    for ti, tj, v in tiles:
+        out[:, ti * chunk_size:(ti + 1) * chunk_size,
+            tj * chunk_size:(tj + 1) * chunk_size, :] = np.asarray(v)
     if squeeze_first and n == 1:
         out = out[0]
     return out, it

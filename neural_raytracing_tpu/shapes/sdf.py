@@ -345,6 +345,13 @@ class SDF:
     def intersect_test(self, params, rays, max_t=10.0, active=None):
         """True where the ray is NOT blocked before ``max_t`` (shadow test)."""
         r_o, r_d = rays[..., :3], rays[..., 3:]
+        use_fused, interpret = self._fused_loop_state()
+        if use_fused:
+            from ..kernels import fused_march as fm
+            return fm.fused_shadow_march(
+                self.module, params, r_o, r_d, max_t,
+                max_steps=self.max_steps, epsilon=self.epsilon,
+                compute_dtype=self.march_dtype, interpret=interpret)
         max_t = jnp.asarray(max_t)
         batch = r_o.shape[:-1]
         depths = jnp.full(batch, 1e2 * self.epsilon, jnp.float32)

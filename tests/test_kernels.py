@@ -274,3 +274,29 @@ class TestFusedMarch:
         if both.any():
             err = np.abs(np.asarray(d_ref)[both] - np.asarray(d_b)[both])
             assert np.median(err) < 2e-2, np.median(err)
+
+    def test_shadow_march_matches_generic(self):
+        ref, fused, params = self._sdfs(max_steps=8)
+        r_o, r_d = self._rays(96)
+        rays = jnp.concatenate([r_o, r_d], axis=-1)
+        from neural_raytracing_tpu.kernels import fused_march as fm
+        for max_t in (10.0, jnp.full((96,), 1.5)):
+            nb_ref = ref.intersect_test(params, rays, max_t=max_t)
+            nb_f = fm.fused_shadow_march(ref.module, params, r_o, r_d, max_t,
+                                         max_steps=8, epsilon=1e-3,
+                                         block_rows=64, interpret=True)
+            np.testing.assert_array_equal(np.asarray(nb_ref), np.asarray(nb_f))
+
+    def test_shadow_march_inactive_rays(self):
+        # zero-direction (masked) rays must come back not-blocked, matching
+        # the generic loop, and must not stall the block's early exit
+        ref, _, params = self._sdfs(max_steps=8)
+        r_o, r_d = self._rays(32)
+        r_d = r_d.at[::3].set(0.0)
+        rays = jnp.concatenate([r_o, r_d], axis=-1)
+        from neural_raytracing_tpu.kernels import fused_march as fm
+        nb_ref = ref.intersect_test(params, rays, max_t=2.0)
+        nb_f = fm.fused_shadow_march(ref.module, params, r_o, r_d, 2.0,
+                                     max_steps=8, epsilon=1e-3,
+                                     block_rows=64, interpret=True)
+        np.testing.assert_array_equal(np.asarray(nb_ref), np.asarray(nb_f))

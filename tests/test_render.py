@@ -64,3 +64,35 @@ class TestStaticArgCacheSafety:
                                     cam, uv, jax.random.PRNGKey(1),
                                     crop_size=8, size=16)
         assert float(np.abs(np.asarray(v0) - np.asarray(v1)).max()) > 1e-6
+
+
+def test_equal_config_integrators_share_jit_cache():
+    """Fresh Direct(training=False) instances must not retrace the tile fn."""
+    from neural_raytracing_tpu.integrators import Direct, Mask, Path
+    from neural_raytracing_tpu.render import _render_tile
+    assert Direct(training=False) == Direct(training=False)
+    assert hash(Direct(training=False)) == hash(Direct(training=False))
+    assert Direct(training=False) != Direct(training=True)
+    assert Mask(Direct(training=False)) == Mask(Direct(training=False))
+    assert Path(max_depth=2) != Path(max_depth=3)
+
+    import jax
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.shapes import Sphere
+    from neural_raytracing_tpu.bsdf import Diffuse
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.cameras import (
+        FoVPerspectiveCamera, look_at_view_transform,
+    )
+    R, T = look_at_view_transform(dist=2.0, elev=0.0, azim=0.0)
+    cam = FoVPerspectiveCamera(R=R, T=T)
+    scene = nrt.Scene(shape=Sphere((0, 0, 0), 1.0), bsdf=Diffuse(),
+                      lights=PointLights(location=[0., 1., 4.], scale=10.))
+    params = scene.init(jax.random.PRNGKey(0))
+    before = _render_tile._cache_size()
+    for k in range(3):
+        nrt.pathtrace(scene, params, cam, Direct(training=False), size=16,
+                      chunk_size=16, bundle_size=1,
+                      key=jax.random.PRNGKey(k), background=0.0)
+    added = _render_tile._cache_size() - before
+    assert added <= 1, f"tile fn retraced {added} times for equal integrators"
