@@ -123,18 +123,26 @@ def _make_sdf_eval(mlp: SkipConnMLP, k_smooth: float, refs,
 
 def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
                         epsilon: float, n_weights: int,
-                        compute_dtype=jnp.float32):
+                        compute_dtype=jnp.float32, omega: float = 1.0):
     # state lives in the OUTPUT refs (Mosaic rejects vector-carried
     # scf loops); the early exit is a pl.when skip of the whole body once
     # every lane in the block is resolved — semantically identical to the
-    # masked fixed-trip loop because frozen lanes never change
+    # masked fixed-trip loop because frozen lanes never change.
+    # With omega > 1 three VMEM scratch refs carry the overrelaxation
+    # state (previous radius, last step, per-lane omega) — see SDF._march.
     from jax.experimental import pallas as pl
+
+    relaxed = omega > 1.0
 
     def kernel(*refs):
         maxt_ref = refs[0]                       # SMEM scalar
         ro_ref, rd_ref = refs[1], refs[2]
         w_refs = refs[3:3 + n_weights]
-        depth_ref, hit_ref = refs[-2], refs[-1]
+        if relaxed:
+            depth_ref, hit_ref = refs[-5], refs[-4]
+            prev_ref, slen_ref, om_ref = refs[-3], refs[-2], refs[-1]
+        else:
+            depth_ref, hit_ref = refs[-2], refs[-1]
         sdf_eval = _make_sdf_eval(mlp, k_smooth, w_refs, compute_dtype)
 
         ro = ro_ref[:]
@@ -143,6 +151,10 @@ def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
 
         depth_ref[:] = jnp.zeros_like(depth_ref)
         hit_ref[:] = jnp.zeros_like(hit_ref)
+        if relaxed:
+            prev_ref[:] = jnp.zeros_like(prev_ref)
+            slen_ref[:] = jnp.zeros_like(slen_ref)
+            om_ref[:] = jnp.full_like(om_ref, omega)
 
         def body(_, carry):
             depths = depth_ref[:]
@@ -152,9 +164,27 @@ def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
             @pl.when(jnp.max(remaining.astype(jnp.float32)) > 0.0)
             def _():
                 sd = sdf_eval(ro + rd * depths)
-                hits = remaining & (sd <= epsilon)
-                still = remaining & jnp.logical_not(hits)
-                depth_ref[:] = jnp.where(still, depths + sd, depths)
+                if relaxed:
+                    prev_sd = prev_ref[:]
+                    step_len = slen_ref[:]
+                    om = om_ref[:]
+                    fail = remaining & (om > 1.0) & (
+                        (jnp.abs(sd) + jnp.abs(prev_sd) <= step_len)
+                        | (sd < -epsilon))
+                    hits = (remaining & jnp.logical_not(fail)
+                            & (sd <= epsilon))
+                    new_step = jnp.where(fail, (1.0 - om) * step_len,
+                                         om * sd)
+                    om_ref[:] = jnp.where(fail, 1.0, om)
+                    still = remaining & jnp.logical_not(hits)
+                    depth_ref[:] = jnp.where(still, depths + new_step,
+                                             depths)
+                    slen_ref[:] = jnp.where(still, new_step, step_len)
+                    prev_ref[:] = jnp.where(still, sd, prev_sd)
+                else:
+                    hits = remaining & (sd <= epsilon)
+                    still = remaining & jnp.logical_not(hits)
+                    depth_ref[:] = jnp.where(still, depths + sd, depths)
                 hit_ref[:] = (hit | hits).astype(jnp.float32)
 
             return carry
@@ -284,9 +314,11 @@ def _specs(block_rows, weights, n_scalars=1):
 
 def fused_march(module, params, r_o, r_d, max_t, *, max_steps: int,
                 epsilon: float, block_rows: int = 512,
-                compute_dtype=jnp.float32, interpret: bool = False):
+                compute_dtype=jnp.float32, omega: float = 1.0,
+                interpret: bool = False):
     """Whole-march kernel. Returns (depths [...], hit [...]) — no grads."""
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     params = lax.stop_gradient(params)
     batches = r_o.shape[:-1]
@@ -295,15 +327,19 @@ def fused_march(module, params, r_o, r_d, max_t, *, max_steps: int,
                + _mlp_weight_arrays(params["shift"], compute_dtype))
     maxt = jnp.asarray(max_t, jnp.float32).reshape(1, 1)
 
+    scratch = []
+    if omega > 1.0:
+        scratch = [pltpu.VMEM((block_rows, 1), jnp.float32)] * 3
     row, in_specs = _specs(block_rows, weights)
     depths, hit = pl.pallas_call(
         _build_march_kernel(module.shift, module.k, max_steps, epsilon,
-                            len(weights), compute_dtype),
+                            len(weights), compute_dtype, omega),
         grid=(n_pad // block_rows,),
         in_specs=in_specs,
         out_specs=[row(1), row(1)],
         out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(maxt, flat_o, flat_d, *weights)
     return (depths[:n, 0].reshape(batches),

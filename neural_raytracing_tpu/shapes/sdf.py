@@ -199,7 +199,8 @@ class SDF:
                  max_steps: int = 32, dist: float = 2.2,
                  throughput_steps: int = 128, alpha: float = 1000.0,
                  warp: Optional[Callable] = None,
-                 fused_loops: str = "auto", march_dtype=None):
+                 fused_loops: str = "auto", march_dtype=None,
+                 omega: float = 1.0):
         self.module = sdf_module
         self.epsilon = epsilon
         self.max_steps = max_steps
@@ -221,6 +222,10 @@ class SDF:
         # v5e (Mosaic relayout cost at these small widths outweighs MXU
         # gain); the knob stays for larger nets where the trade flips.
         self.march_dtype = jnp.float32 if march_dtype is None else march_dtype
+        # sphere-trace overrelaxation factor (1.0 = reference parity; ~1.4
+        # converges in fewer iterations on trained surfaces)
+        assert 1.0 <= omega < 2.0
+        self.omega = omega
 
     def _fused_loop_state(self):
         """-> (use_fused_kernels, interpret) for this SDF's module."""
@@ -246,7 +251,7 @@ class SDF:
         out = SDF(self.module, self.epsilon, self.max_steps, self.dist,
                   self.throughput_steps, self.alpha, warp=warp,
                   fused_loops=self.fused_loops,
-                  march_dtype=self.march_dtype)
+                  march_dtype=self.march_dtype, omega=self.omega)
         return out
 
     # ---- marching ----------------------------------------------------------
@@ -259,24 +264,58 @@ class SDF:
             return fm.fused_march(
                 self.module, params, r_o, r_d, max_t,
                 max_steps=self.max_steps, epsilon=self.epsilon,
-                compute_dtype=self.march_dtype, interpret=interpret)
+                omega=self.omega, compute_dtype=self.march_dtype,
+                interpret=interpret)
         batch = r_o.shape[:-1]
         depths = jnp.zeros(batch, jnp.float32)
         remaining = jnp.ones(batch, bool)
         hit = jnp.zeros(batch, bool)
 
-        def body(_, carry):
-            depths, remaining, hit = carry
+        if self.omega == 1.0:
+            def body(_, carry):
+                depths, remaining, hit = carry
+                remaining = remaining & (depths < max_t)
+                dists = self.sdf(params, r_o + r_d * depths[..., None])
+                hits = remaining & (dists <= self.epsilon)
+                hit = hit | hits
+                remaining = remaining & ~hits
+                depths = jnp.where(remaining, depths + dists, depths)
+                return depths, remaining, hit
+
+            depths, _, hit = lax.fori_loop(0, self.max_steps, body,
+                                           (depths, remaining, hit))
+            return lax.stop_gradient(depths), lax.stop_gradient(hit)
+
+        # overrelaxed sphere tracing (Keinert et al. 2014): step by
+        # omega*sdf; if the new and previous bounding spheres no longer
+        # overlap the overstep missed geometry — retreat (1-omega)*step and
+        # fall back to plain stepping for that ray.  Converges in fewer
+        # iterations on coherent surfaces (pays off through the fused
+        # kernel's block early-exit); omega=1 is exact reference parity.
+        prev_sd = jnp.zeros(batch, jnp.float32)
+        step_len = jnp.zeros(batch, jnp.float32)
+        om = jnp.full(batch, self.omega, jnp.float32)
+
+        def body_relaxed(_, carry):
+            depths, remaining, hit, prev_sd, step_len, om = carry
             remaining = remaining & (depths < max_t)
-            dists = self.sdf(params, r_o + r_d * depths[..., None])
-            hits = remaining & (dists <= self.epsilon)
+            sd = self.sdf(params, r_o + r_d * depths[..., None])
+            fail = remaining & (om > 1.0) & (
+                (jnp.abs(sd) + jnp.abs(prev_sd) <= step_len)
+                | (sd < -self.epsilon))
+            hits = remaining & ~fail & (sd <= self.epsilon)
+            new_step = jnp.where(fail, (1.0 - om) * step_len, om * sd)
+            om = jnp.where(fail, 1.0, om)
             hit = hit | hits
             remaining = remaining & ~hits
-            depths = jnp.where(remaining, depths + dists, depths)
-            return depths, remaining, hit
+            depths = jnp.where(remaining, depths + new_step, depths)
+            step_len = jnp.where(remaining, new_step, step_len)
+            prev_sd = jnp.where(remaining, sd, prev_sd)
+            return depths, remaining, hit, prev_sd, step_len, om
 
-        depths, _, hit = lax.fori_loop(0, self.max_steps, body,
-                                       (depths, remaining, hit))
+        depths, _, hit, _, _, _ = lax.fori_loop(
+            0, self.max_steps, body_relaxed,
+            (depths, remaining, hit, prev_sd, step_len, om))
         return lax.stop_gradient(depths), lax.stop_gradient(hit)
 
     def normals(self, params, p: jax.Array) -> jax.Array:

@@ -300,3 +300,55 @@ class TestFusedMarch:
                                      max_steps=8, epsilon=1e-3,
                                      block_rows=64, interpret=True)
         np.testing.assert_array_equal(np.asarray(nb_ref), np.asarray(nb_f))
+
+    def test_overrelaxed_march_fused_matches_generic(self):
+        from neural_raytracing_tpu.shapes import SDF, SphereSDF
+        mlp = SkipConnMLP(in_size=3, out=1, num_layers=2, hidden_size=32,
+                          freqs=8, activation="softplus", init="uniform")
+        module = SphereSDF(n=8, mlp=mlp)
+        params = module.init(jax.random.PRNGKey(0))
+        gen = SDF(module, max_steps=10, fused_loops="off", omega=1.5)
+        r_o, r_d = self._rays(96)
+        from neural_raytracing_tpu.kernels import fused_march as fm
+        d_g, h_g = gen._march(params, r_o, r_d, 10.0)
+        d_f, h_f = fm.fused_march(module, params, r_o, r_d, 10.0,
+                                  max_steps=10, epsilon=1e-3, block_rows=64,
+                                  omega=1.5, interpret=True)
+        np.testing.assert_array_equal(np.asarray(h_g), np.asarray(h_f))
+        np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_f),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_overrelaxed_march_converges_on_exact_sdf(self):
+        # on an exact unit-sphere SDF the relaxed march must find the same
+        # hits as the plain march, in no more steps
+        from neural_raytracing_tpu.shapes import SDF, UNIT_SPHERE
+        base = SDF(UNIT_SPHERE, max_steps=48, fused_loops="off")
+        rel = SDF(UNIT_SPHERE, max_steps=48, fused_loops="off", omega=1.5)
+        r_o, r_d = self._rays(128)
+        d_b, h_b = base._march({}, r_o, r_d, 10.0)
+        d_r, h_r = rel._march({}, r_o, r_d, 10.0)
+        assert np.mean(np.asarray(h_b) == np.asarray(h_r)) > 0.98
+        both = np.asarray(h_b) & np.asarray(h_r)
+        np.testing.assert_allclose(np.asarray(d_b)[both],
+                                   np.asarray(d_r)[both], atol=5e-3)
+
+    def test_overrelaxed_march_rejects_interior_overshoot(self):
+        # perpendicular rays with slight length jitter historically slipped
+        # past the sphere-overlap test and "hit" deep inside the surface;
+        # the interior-overshoot fail must retreat them to the boundary
+        from neural_raytracing_tpu.shapes import SDF, UNIT_SPHERE
+        n = 64
+        r_o = jnp.zeros((n, 3)).at[:, 2].set(2.0)
+        jit = 1.0 + 1e-3 * jax.random.normal(jax.random.PRNGKey(3), (n, 1))
+        r_d = jnp.concatenate(
+            [jnp.zeros((n, 2)), -jnp.ones((n, 1))], -1) * jit
+        base = SDF(UNIT_SPHERE, max_steps=64, fused_loops="off")
+        d_b, h_b = base._march({}, r_o, r_d, 10.0)
+        for om in (1.4, 1.6):
+            rel = SDF(UNIT_SPHERE, max_steps=64, fused_loops="off", omega=om)
+            d_r, h_r = rel._march({}, r_o, r_d, 10.0)
+            np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_r))
+            # depths may differ by a few epsilon (different trajectories
+            # both stop within epsilon of the surface)
+            np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_r),
+                                       atol=5e-3)
