@@ -11,9 +11,11 @@ These kernels put the ENTIRE loop inside one ``pallas_call``: each grid
 block loads its rays once, keeps the sphere-set and shift-MLP weights
 resident in VMEM, and iterates the march/min-scan fully on-chip — zero HBM
 traffic between steps.  The march additionally early-exits per block
-(``lax.while_loop``): rays in a block are spatially coherent pixels, so
-most blocks converge long before ``max_steps`` — semantically identical to
-the masked fixed-trip loop because converged lanes are frozen by the masks.
+(``pl.when`` skip inside a ``fori_loop``; Mosaic rejects vector-carried
+``while_loop``): rays in a block are spatially coherent pixels, so blocks
+whose rays all resolve stop paying for the remaining iterations —
+semantically identical to the masked fixed-trip loop because converged
+lanes are frozen by the masks.
 
 Both loops are no-grad by design (the reference marches under
 ``torch.no_grad``; gradients only flow through the separate hit-point /
@@ -287,8 +289,12 @@ def _build_minscan_kernel(mlp: SkipConnMLP, k_smooth: float, steps: int,
 
 
 def _pad_rays(r_o, r_d, block_rows):
-    flat_o = r_o.reshape(-1, 3)
-    flat_d = r_d.reshape(-1, 3)
+    # the kernels have no autodiff rules and their outputs are no-grad by
+    # contract — sever ALL input tangents (rays may be differentiated:
+    # learnable camera poses, shadow origins at it.p) or linearization of
+    # an enclosing grad fails on the pallas_call
+    flat_o = lax.stop_gradient(r_o).reshape(-1, 3)
+    flat_d = lax.stop_gradient(r_d).reshape(-1, 3)
     n = flat_o.shape[0]
     n_pad = max(-(-n // block_rows) * block_rows, block_rows)
     # padded rays start far outside every surface: the march resolves them
@@ -325,7 +331,7 @@ def fused_march(module, params, r_o, r_d, max_t, *, max_steps: int,
     flat_o, flat_d, n, n_pad = _pad_rays(r_o, r_d, block_rows)
     weights = (_sphere_weight_arrays(params)
                + _mlp_weight_arrays(params["shift"], compute_dtype))
-    maxt = jnp.asarray(max_t, jnp.float32).reshape(1, 1)
+    maxt = lax.stop_gradient(jnp.asarray(max_t, jnp.float32)).reshape(1, 1)
 
     scratch = []
     if omega > 1.0:
@@ -354,7 +360,8 @@ def fused_shadow_march(module, params, r_o, r_d, max_t, *, max_steps: int,
 
     params = lax.stop_gradient(params)
     batches = r_o.shape[:-1]
-    max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), batches)
+    max_t = lax.stop_gradient(
+        jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), batches))
     flat_o, flat_d, n, n_pad = _pad_rays(r_o, r_d, block_rows)
     weights = (_sphere_weight_arrays(params)
                + _mlp_weight_arrays(params["shift"], compute_dtype))
@@ -388,7 +395,8 @@ def fused_min_scan(module, params, r_o, r_d, step_size, *, steps: int,
     flat_o, flat_d, n, n_pad = _pad_rays(r_o, r_d, block_rows)
     weights = (_sphere_weight_arrays(params)
                + _mlp_weight_arrays(params["shift"], compute_dtype))
-    stepsz = jnp.asarray(step_size, jnp.float32).reshape(1, 1)
+    stepsz = lax.stop_gradient(
+        jnp.asarray(step_size, jnp.float32)).reshape(1, 1)
 
     from jax.experimental.pallas import tpu as pltpu
 

@@ -352,3 +352,19 @@ class TestFusedMarch:
             # both stop within epsilon of the surface)
             np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_r),
                                        atol=5e-3)
+
+    def test_fused_loops_under_grad_of_inputs(self):
+        # colocate regression: shadow march runs inside grad with
+        # differentiated ray origins (it.p) and light distances; the
+        # kernels must sever input tangents, not crash linearization
+        ref, fused, params = self._sdfs(max_steps=6)
+        r_o, r_d = self._rays(33)
+
+        def loss(ro):
+            rays = jnp.concatenate([ro, r_d], axis=-1)
+            nb = fused.intersect_test(params, rays, max_t=2.0)
+            it, hit = fused.intersect(params, rays)
+            return jnp.sum(it.p * (1.0 + nb[..., None]))
+
+        g = jax.grad(loss)(r_o)
+        assert np.isfinite(np.asarray(g)).all()
