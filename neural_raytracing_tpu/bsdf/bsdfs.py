@@ -53,6 +53,28 @@ def _active_mask(active, batch_shape):
     return jnp.broadcast_to(jnp.asarray(active), batch_shape)
 
 
+def _gumbel_argmax(key, weights: jax.Array) -> jax.Array:
+    """Categorical selection ∝ weights with static shapes (replaces the
+    reference's torch.multinomial, bsdfs.py:506)."""
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, weights.shape, minval=1e-10, maxval=1.0)))
+    return jnp.argmax(jnp.log(jnp.maximum(weights, 1e-20)) + gumbel, axis=-1)
+
+
+def _combine_samples(samples, onehot: jax.Array):
+    """Gather per-basis (BSDFSample, spectrum) pairs by a one-hot selection.
+
+    -> (wo [..., 3], pdf [...], spectrum [..., 3]) of the selected basis.
+    """
+    wos = jnp.stack([bs.wo for bs, _ in samples], axis=-1)      # [..., 3, K]
+    pdfs = jnp.stack([bs.pdf for bs, _ in samples], axis=-1)    # [..., K]
+    specs = jnp.stack([s for _, s in samples], axis=-1)         # [..., 3, K]
+    wo = normalize(jnp.sum(wos * onehot[..., None, :], axis=-1))
+    pdf = jnp.sum(pdfs * onehot, axis=-1)
+    spectrum = jnp.sum(specs * onehot[..., None, :], axis=-1)
+    return wo, pdf, spectrum
+
+
 class Diffuse:
     """Lambertian lobe with a learnable reflectance color."""
 
@@ -288,7 +310,19 @@ class Compose:
         return spectrum, pdf, {}
 
     def sample(self, params, it, key, active=True):
-        raise NotImplementedError("reference Compose.sample is unimplemented")
+        """Completes the reference's unimplemented Compose.sample
+        (bsdfs.py:456-478 has no sample): pick a basis categorically ∝ the
+        global softmax weights; joint pdf = selection prob x basis pdf."""
+        keys = jax.random.split(key, len(self.bsdfs) + 1)
+        samples = [b.sample(bp, it, k, active)
+                   for b, bp, k in zip(self.bsdfs, params["bsdfs"], keys)]
+        k_w = jnp.broadcast_to(self.normalized_weights(params),
+                               it.p.shape[:-1] + (len(self.bsdfs),))
+        onehot = jax.nn.one_hot(_gumbel_argmax(keys[-1], k_w),
+                                len(self.bsdfs), dtype=k_w.dtype)
+        wo, pdf, spectrum = _combine_samples(samples, onehot)
+        pdf = pdf * jnp.sum(k_w * onehot, axis=-1)
+        return BSDFSample(wo=wo, pdf=pdf), spectrum
 
 
 class ComposeSpatialVarying:
@@ -337,21 +371,11 @@ class ComposeSpatialVarying:
         samples = [b.sample(bp, it, k, active)
                    for b, bp, k in zip(self.bsdfs, params["bsdfs"], keys)]
         k_w, _ = self.normalized_weights(params, it.p)
-        # categorical selection ∝ weights with static shapes (Gumbel-argmax
-        # replaces the reference's torch.multinomial, bsdfs.py:506)
-        gumbel = -jnp.log(-jnp.log(
-            jax.random.uniform(keys[-1], k_w.shape, minval=1e-10, maxval=1.0)))
-        selections = jnp.argmax(jnp.log(jnp.maximum(k_w, 1e-20)) + gumbel,
-                                axis=-1)
-        onehot = jax.nn.one_hot(selections, len(self.bsdfs), dtype=k_w.dtype)
-        wos = jnp.stack([bs.wo for bs, _ in samples], axis=-1)     # [...,3,K]
-        pdfs = jnp.stack([bs.pdf for bs, _ in samples], axis=-1)   # [...,K]
-        specs = jnp.stack([s for _, s in samples], axis=-1)        # [...,3,K]
-        wo = normalize(jnp.sum(wos * onehot[..., None, :], axis=-1))
+        onehot = jax.nn.one_hot(_gumbel_argmax(keys[-1], k_w),
+                                len(self.bsdfs), dtype=k_w.dtype)
+        wo, pdf, spectrum = _combine_samples(samples, onehot)
         # joint pdf of (select basis, sample direction)
-        pdf = (jnp.sum(pdfs * onehot, axis=-1)
-               * jnp.sum(k_w * onehot, axis=-1))
-        spectrum = jnp.sum(specs * onehot[..., None, :], axis=-1)
+        pdf = pdf * jnp.sum(k_w * onehot, axis=-1)
         return BSDFSample(wo=wo, pdf=pdf), spectrum
 
 
@@ -378,7 +402,16 @@ class SelectBSDF:
         return summed[..., :3], summed[..., 3], {}
 
     def sample(self, params, it, key, active=True):
-        raise NotImplementedError("reference SelectBSDF.sample is unimplemented")
+        """Completes the reference's unimplemented SelectBSDF.sample
+        (bsdfs.py:542-565 has no sample): the selector is deterministic, so
+        the sample IS the chosen basis's sample (no selection pdf factor)."""
+        idx = self.selector(it.p)
+        onehot = jax.nn.one_hot(idx, len(self.bsdfs))
+        keys = jax.random.split(key, len(self.bsdfs))
+        samples = [b.sample(bp, it, k, active)
+                   for b, bp, k in zip(self.bsdfs, params["bsdfs"], keys)]
+        wo, pdf, spectrum = _combine_samples(samples, onehot)
+        return BSDFSample(wo=wo, pdf=pdf), spectrum
 
 
 class NeuralBSDF:

@@ -201,10 +201,23 @@ class Luminance(Integrator):
 
 
 class Direct(Integrator):
-    """Direct lighting with emitter sampling (the training integrator)."""
+    """Direct lighting with emitter sampling (the training integrator).
 
-    def __init__(self, emitter_samples: int = 1, training: bool = True):
+    ``bsdf_samples > 0`` enables the BSDF-importance-sampled arm with
+    multiple importance sampling — the reference STUBS this (its ``mis`` is
+    commented out at integrators.py:183-184 and the ``bsdf_samples`` loop
+    raises NotImplementedError at :191-205); completed here for non-delta
+    lights (``Constant``), where light sampling alone misses glossy lobes.
+    With both arms enabled the emitter arm is weighted by
+    ``mis_weight(light_pdf, bsdf_pdf)`` (power heuristic) and the BSDF arm
+    by ``mis_weight(bsdf_pdf, light_pdf)``; delta lights keep weight 1 on
+    the emitter arm and are unhittable by the BSDF arm.
+    """
+
+    def __init__(self, emitter_samples: int = 1, bsdf_samples: int = 0,
+                 training: bool = True):
         self.emitter_samples = emitter_samples
+        self.bsdf_samples = bsdf_samples
         self.training = training
 
     def dims(self):
@@ -212,9 +225,9 @@ class Direct(Integrator):
 
     def sample(self, scene, params, rays, key=None, training: Optional[bool] = None):
         training = self.training if training is None else training
-        ikey = ekey = None
+        ikey = ekey = bkey = None
         if key is not None:
-            ikey, ekey = jax.random.split(key)
+            ikey, ekey, bkey = jax.random.split(key, 3)
 
         it, active = scene.shape.intersect(params["shape"], rays, key=ikey,
                                            primary=training)
@@ -230,7 +243,41 @@ class Direct(Integrator):
                 params["bsdf"], it, wo, active_emitted)
             it = _attach_aux(it, aux)
             val = bsdf_val * emitter_val / self.emitter_samples
+            # MIS only when the BSDF arm actually runs AND the light is not
+            # a dirac delta; otherwise the emitter-arm weight stays 1
+            # (matching the reference's always-ones mis, integrators.py:181).
+            # The BSDF sampler's density is clamped at 0: directions it
+            # cannot produce (below-horizon, where the reference's eval pdf
+            # goes negative) must keep emitter-arm weight 1 for the
+            # two-arm estimator to stay unbiased.
+            if self.bsdf_samples > 0 and not ds.delta:
+                val = val * mis_weight(ds.pdf,
+                                       jnp.maximum(bsdf_pdf, 0.0))[..., None]
             result = result + jnp.where(active_emitted[..., None], val, 0.0)
+
+        for i in range(self.bsdf_samples):
+            skey = jax.random.fold_in(
+                bkey if bkey is not None else jax.random.PRNGKey(0), i)
+            # sample() provides the direction; the VALUE and pdf come from
+            # eval_and_pdf so both arms share one convention (the eval
+            # spectrum includes the cos factor; one-sample mixture MIS)
+            bs, _ = scene.bsdf.sample(params["bsdf"], it, skey, active)
+            new_rays = it.spawn_rays(it.from_local(bs.wo))
+            light_t, light_hit = scene.lights.intersect(params["lights"],
+                                                        new_rays)
+            emit_val, light_pdf = scene.lights.eval_pdf(params["lights"],
+                                                        new_rays)
+            bsdf_val, bsdf_pdf, _ = scene.bsdf.eval_and_pdf(
+                params["bsdf"], it, bs.wo, active)
+            ok = active & light_hit & (bsdf_pdf > 0)
+            if scene.occlusion != "none":
+                not_blocked = scene.shape.intersect_test(
+                    params["shape"], new_rays, max_t=light_t, active=ok)
+                ok = ok & not_blocked
+            w = (mis_weight(bsdf_pdf, light_pdf)
+                 / jnp.maximum(bsdf_pdf, 1e-10) / self.bsdf_samples)
+            val = w[..., None] * bsdf_val * emit_val
+            result = result + jnp.where(ok[..., None], val, 0.0)
         return result, active, it
 
 

@@ -36,6 +36,14 @@ def _bcast(v: jax.Array, batch_ndim: int) -> jax.Array:
     return v.reshape(v.shape[:1] + (1,) * (batch_ndim - 1) + v.shape[-1:])
 
 
+def _never_hit(rays: jax.Array):
+    """intersect/eval_pdf for delta lights: BSDF-sampled rays cannot hit a
+    dirac emitter, so the Direct integrator's BSDF-sampling arm contributes
+    zero for them (its MIS weight for the emitter arm is 1)."""
+    batch = rays.shape[:-1]
+    return (jnp.zeros(batch, rays.dtype), jnp.zeros(batch, bool))
+
+
 class PointLights:
     """Delta point light(s) with learnable falloff and color."""
 
@@ -90,6 +98,16 @@ class PointLights:
         dist = jnp.linalg.norm(d, axis=-1, keepdims=True)
         return self._falloff(params, dist)
 
+    # delta light: not intersectable by BSDF-sampled rays
+    delta = True
+
+    def intersect(self, params, rays):
+        return _never_hit(rays)
+
+    def eval_pdf(self, params, rays):
+        batch = rays.shape[:-1]
+        return jnp.zeros(batch + (3,), rays.dtype), jnp.zeros(batch, rays.dtype)
+
 
 class Constant:
     """An enclosing sphere emitting uniformly inwards."""
@@ -116,6 +134,30 @@ class Constant:
         active_b = jnp.broadcast_to(jnp.asarray(active), it.p.shape[:-1])
         spectrum = jnp.where(active_b[..., None], spectrum, 0.0)
         return ds, spectrum
+
+    # area (non-delta) light: the enclosing sphere is hit by every ray
+    # starting inside it — completes the reference's stubbed BSDF-sampling
+    # arm (integrators.py:191-205 raises NotImplementedError upstream)
+    delta = False
+
+    def intersect(self, params, rays):
+        """-> (distance to the enclosing sphere [...], hit mask [...])."""
+        p, d = rays[..., :3], rays[..., 3:]
+        b = jnp.sum(p * d, axis=-1)
+        c = jnp.sum(p * p, axis=-1) - self.radius * self.radius
+        disc = b * b - c
+        t = -b + jnp.sqrt(jnp.maximum(disc, 0.0))
+        hit = (disc >= 0.0) & (t > 0.0)
+        return t, hit
+
+    def eval_pdf(self, params, rays):
+        """Emitted radiance along ``rays`` and the pdf with which
+        ``sample_direction`` would have produced those directions
+        (uniform over the sphere of directions)."""
+        batch = rays.shape[:-1]
+        spectrum = jnp.broadcast_to(params["intensity"], batch + (3,))
+        pdf = jnp.full(batch, 1.0 / (4.0 * math.pi), rays.dtype)
+        return spectrum, pdf
 
 
 class LightField:
@@ -147,3 +189,13 @@ class LightField:
         ds = DirectionSample(d=d, pdf=jnp.ones(it.p.shape[:-1], it.p.dtype),
                              dist=None, delta=True)
         return ds, spectrum
+
+    # delta light field: not intersectable by BSDF-sampled rays
+    delta = True
+
+    def intersect(self, params, rays):
+        return _never_hit(rays)
+
+    def eval_pdf(self, params, rays):
+        batch = rays.shape[:-1]
+        return jnp.zeros(batch + (3,), rays.dtype), jnp.zeros(batch, rays.dtype)

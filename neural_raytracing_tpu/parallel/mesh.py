@@ -57,13 +57,42 @@ def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def padded_size(batch_size: int, n: int) -> int:
+    return batch_size + (-batch_size) % n
+
+
+def pad_batch(tree, batch_size: int, n: int):
+    """Pad leaves with leading dim ``batch_size`` to a multiple of ``n``.
+
+    Padding repeats the last slice (valid geometry/data, so the forward pass
+    stays finite); the train step slices the loss back to the real views, so
+    padded entries contribute nothing to gradients.  Leaves already padded
+    (or without the batch leading dim) pass through unchanged.
+    """
+    import jax.numpy as jnp
+
+    pad = (-batch_size) % n
+    if pad == 0:
+        return tree
+
+    def padleaf(leaf):
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == batch_size):
+            tail = jnp.broadcast_to(leaf[-1:], (pad,) + leaf.shape[1:])
+            return jnp.concatenate([jnp.asarray(leaf), tail], axis=0)
+        return leaf
+
+    return jax.tree_util.tree_map(padleaf, tree)
+
+
 def _batch_spec(mesh: Mesh, tree, batch_size: int):
-    """Shard leaves whose leading dim equals the (divisible) batch size."""
+    """Shard leaves whose leading dim equals the padded batch size."""
     n = mesh.devices.size
+    padded = padded_size(batch_size, n)
 
     def spec(leaf):
         if (hasattr(leaf, "ndim") and leaf.ndim >= 1
-                and leaf.shape[0] == batch_size and batch_size % n == 0):
+                and leaf.shape[0] == padded):
             return NamedSharding(mesh, P("data"))
         return NamedSharding(mesh, P())
 
@@ -71,7 +100,15 @@ def _batch_spec(mesh: Mesh, tree, batch_size: int):
 
 
 def shard_batch(tree, mesh: Mesh, batch_size: int):
-    """Device-put a step's data batch with the view axis sharded."""
+    """Device-put a step's data batch with the view axis sharded.
+
+    Non-divisible batches are padded to a mesh multiple first (see
+    :func:`pad_batch`) so the view axis ALWAYS shards — previously a
+    non-divisible batch was silently replicated and every device did the
+    full redundant step.
+    """
+    n = mesh.devices.size
+    tree = pad_batch(tree, batch_size, n)
     return jax.tree_util.tree_map(
         lambda leaf, s: jax.device_put(leaf, s),
         tree, _batch_spec(mesh, tree, batch_size))
@@ -118,12 +155,19 @@ def make_parallel_train_step(scene, integrator, optimizer, mesh: Mesh, *,
     """A jitted train step with data-parallel shardings over ``mesh``.
 
     The per-leaf input shardings: train state replicated; camera/exp/mask
-    sharded on the leading view axis (when divisible by the mesh size);
-    uv/key replicated.  Output state is replicated (XLA all-reduces grads).
+    sharded on the leading view axis; uv/key replicated.  Output state is
+    replicated (XLA all-reduces grads).
+
+    Non-divisible view counts are padded to a mesh multiple (repeating the
+    last view) and the loss is computed on the first ``n_views`` only, so
+    the padded-sharded step's gradients exactly match the unsharded step.
     """
     from ..training.loop import build_step_fn
 
-    step = build_step_fn(scene, integrator, optimizer, **step_kwargs)
+    n = mesh.devices.size
+    pad = (-n_views) % n
+    step = build_step_fn(scene, integrator, optimizer,
+                         n_real_views=n_views if pad else None, **step_kwargs)
     rep = replicated(mesh)
 
     def sharded_step(state, camera, uv, exp, mask, key):
@@ -142,6 +186,10 @@ def make_parallel_train_step(scene, integrator, optimizer, mesh: Mesh, *,
     _cache = {}
 
     def wrapped(state, camera, uv, exp, mask, key):
+        # idempotent: pads + shards only leaves still at the raw view count
+        camera = shard_batch(camera, mesh, n_views)
+        exp = shard_batch(exp, mesh, n_views)
+        mask = shard_batch(mask, mesh, n_views)
         if "jitted" not in _cache:
             shardings = in_shardings(state, camera, uv, exp, mask, key)
             _cache["jitted"] = jax.jit(sharded_step, in_shardings=shardings)

@@ -49,15 +49,28 @@ def build_step_fn(scene: Scene, integrator, optimizer, *, size: int,
                   crop_size: int, bundle_size: int = 1,
                   mask_weight: float = 15.0, tone_mapping: bool = False,
                   with_ssim: bool = True, with_noise=False,
-                  extra_loss: Callable = default_extra_loss):
+                  extra_loss: Callable = default_extra_loss,
+                  n_real_views: Optional[int] = None):
     """The un-jitted ``(state, camera, uv, exp, mask, key) -> (state, aux)``.
 
     ``exp``/``mask`` are the ``[N, S, S, 3]`` / ``[N, S, S]`` ground-truth
     crop; ``uv`` the crop offset; ``camera`` a pytree camera batch.
+
+    ``n_real_views``: when the view axis was padded to a device-mesh
+    multiple (parallel.pad_batch), the loss — including extra_loss — runs
+    on the first ``n_real_views`` views only, so padded views contribute
+    zero gradient and the step exactly matches its unsharded counterpart.
     """
     import optax
 
     train_integrator = NeRFIntegrator(integrator)
+
+    def slice_views(tree, n_padded):
+        return jax.tree_util.tree_map(
+            lambda leaf: leaf[:n_real_views]
+            if (hasattr(leaf, "ndim") and leaf.ndim >= 1
+                and leaf.shape[0] == n_padded) else leaf,
+            tree)
 
     def loss_fn(params, camera, uv, exp, mask, key):
         ckey, ikey = jax.random.split(key)
@@ -69,6 +82,12 @@ def build_step_fn(scene: Scene, integrator, optimizer, *, size: int,
                                                      key=ikey, training=True)
         got = jnp.mean(values, axis=-2)                     # over bundle
         throughput = jnp.mean(it.throughput, axis=-1)       # over bundle
+        if n_real_views is not None:
+            n_padded = got.shape[0]
+            got, throughput, it = (got[:n_real_views],
+                                   throughput[:n_real_views],
+                                   slice_views(it, n_padded))
+            exp, mask = exp[:n_real_views], mask[:n_real_views]
         loss = masked_loss(got[..., :3], exp, throughput, mask,
                            mask_weight=mask_weight,
                            tone_mapping=tone_mapping, with_ssim=with_ssim)

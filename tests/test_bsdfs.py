@@ -91,6 +91,52 @@ class TestCompose:
         np.testing.assert_allclose(np.asarray(pdf), WO[2] / math.pi,
                                    rtol=1e-5)
 
+    def test_sample_joint_pdf_and_frequencies(self):
+        """Compose.sample (completed beyond the reference's stub): the
+        joint pdf is selection-prob x basis pdf, and selection frequencies
+        follow the softmax weights."""
+        b = Compose([Diffuse((1.0, 0.0, 0.0)), Diffuse((0.0, 1.0, 0.0))])
+        p = b.init(jax.random.PRNGKey(0))
+        p = dict(p, weights=jnp.asarray([2.0, 0.0]))  # asymmetric mixture
+        w = np.asarray(jax.nn.softmax(p["weights"]))
+        n = 4096
+        it = make_it(n)
+        bs, spec = b.sample(p, it, jax.random.PRNGKey(7))
+        wo, pdf = np.asarray(bs.wo), np.asarray(bs.pdf)
+        assert (wo[:, 2] > 0).all() and (pdf > 0).all()
+        # joint pdf = k_sel * cos/pi with k_sel in the softmax weights
+        ratio = pdf / (wo[:, 2] / math.pi)
+        sel0 = np.isclose(ratio, w[0], rtol=1e-4)
+        sel1 = np.isclose(ratio, w[1], rtol=1e-4)
+        assert (sel0 | sel1).all()
+        # frequencies follow the weights (binomial 3-sigma)
+        sigma = math.sqrt(n * w[0] * w[1])
+        assert abs(sel0.sum() - n * w[0]) < 3 * sigma
+        # spectrum comes from the selected basis
+        spec = np.asarray(spec)
+        np.testing.assert_allclose(spec[sel0, 1], 0.0, atol=1e-7)
+        np.testing.assert_allclose(spec[sel1, 0], 0.0, atol=1e-7)
+
+    def test_sample_direction_distribution(self):
+        # both bases cos-hemisphere => marginal E[cos theta] = 2/3
+        b = Compose([Diffuse(), Diffuse()])
+        p = b.init(jax.random.PRNGKey(0))
+        bs, _ = b.sample(p, make_it(8192), jax.random.PRNGKey(9))
+        assert abs(float(jnp.mean(bs.wo[:, 2])) - 2.0 / 3.0) < 0.01
+
+    def test_eval_pdf_integrates_to_one(self):
+        """Mixture pdf integrates to 1 over the hemisphere (MC, uniform)."""
+        b = Compose([Diffuse((1.0, 0.0, 0.0)), Diffuse((0.0, 1.0, 0.0))])
+        p = b.init(jax.random.PRNGKey(0))
+        n = 20000
+        v = jax.random.normal(jax.random.PRNGKey(3), (n, 3))
+        v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+        wo = v.at[:, 2].set(jnp.abs(v[:, 2]))  # uniform upper hemisphere
+        it = make_it(n)
+        _, pdf, _ = b.eval_and_pdf(p, it, wo)
+        integral = float(jnp.mean(pdf) * 2.0 * math.pi)
+        assert abs(integral - 1.0) < 0.03, integral
+
 
 class TestSelectBSDF:
     def test_hard_selection(self):
@@ -103,6 +149,28 @@ class TestSelectBSDF:
         left = np.asarray(it.p[:, 0]) <= 0
         assert (np.asarray(spec)[left, 1] < 1e-7).all()
         assert (np.asarray(spec)[~left, 0] < 1e-7).all()
+
+    def test_sample_follows_selector(self):
+        """SelectBSDF.sample (completed beyond the reference's stub): each
+        ray gets exactly the selected basis's sample — the mirror lobe where
+        the selector picks the Conductor, cos-hemisphere elsewhere."""
+        from neural_raytracing_tpu.ops.math import local_reflect
+
+        b = SelectBSDF(lambda p: (p[..., 0] > 0).astype(jnp.int32),
+                       [Diffuse((1.0, 0.0, 0.0)), Conductor()])
+        p = b.init(jax.random.PRNGKey(0))
+        it = make_it(256)
+        bs, _ = b.sample(p, it, jax.random.PRNGKey(5))
+        mirror = np.asarray(local_reflect(it.wi))
+        right = np.asarray(it.p[:, 0]) > 0
+        np.testing.assert_allclose(np.asarray(bs.wo)[right], mirror[right],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bs.pdf)[right], 1.0, atol=1e-6)
+        # diffuse side: cos-hemisphere samples with matching pdf
+        wo_l = np.asarray(bs.wo)[~right]
+        assert (wo_l[:, 2] > 0).all()
+        np.testing.assert_allclose(np.asarray(bs.pdf)[~right],
+                                   wo_l[:, 2] / math.pi, rtol=1e-4)
 
 
 class TestComposeSpatialVarying:

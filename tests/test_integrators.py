@@ -12,7 +12,7 @@ from neural_raytracing_tpu.integrators import (
     Debug, Depth, Direct, Illumination, Mask, NeRFIntegrator, Path,
     Silhouette,
 )
-from neural_raytracing_tpu.lights import PointLights
+from neural_raytracing_tpu.lights import Constant, PointLights
 from neural_raytracing_tpu.nn import SkipConnMLP
 from neural_raytracing_tpu.shapes import SDF, Sphere, SphereSDF
 
@@ -174,3 +174,73 @@ class TestNeRFIntegratorWrapper:
         assert bool(active.all())
         # alpha is sigmoid(logits) in [0, 1]
         assert 0.0 <= float(out[0, 3]) <= 1.0
+
+
+class TestDirectMIS:
+    """Direct's BSDF-sampling arm + MIS (completed beyond the reference's
+    stub, integrators.py:183-205): both estimators agree with the analytic
+    answer on a clamped-diffuse + Constant-light scene, and MIS reduces
+    variance."""
+
+    def _scene(self):
+        import jax.numpy as jnp
+
+        def clamped_div_pi(x):
+            return jnp.maximum(x, 0.0) / math.pi
+
+        refl = (0.6, 0.4, 0.2)
+        return nrt.Scene(
+            shape=Sphere((0.0, 0.0, 0.0), 1.0),
+            bsdf=Diffuse(refl, preprocess=clamped_div_pi),
+            lights=Constant(radius=5.0, intensity=0.5)), np.asarray(refl)
+
+    def _rays(self, n=256):
+        xy = np.stack(np.meshgrid(np.linspace(-0.2, 0.2, 16),
+                                  np.linspace(-0.2, 0.2, 16)), -1)
+        xy = xy.reshape(-1, 2)[:n]
+        r_o = np.concatenate([xy, np.full((n, 1), 3.0)], -1)
+        r_d = np.broadcast_to([0.0, 0.0, -1.0], (n, 3))
+        return jnp.asarray(np.concatenate([r_o, r_d], -1), jnp.float32)
+
+    def _mc(self, integrator, scene, params, rays, n_keys=64):
+        keys = jax.random.split(jax.random.PRNGKey(42), n_keys)
+
+        @jax.jit
+        def one(k):
+            v, a, _ = integrator.sample(scene, params, rays, key=k,
+                                        training=False)
+            return v, a
+
+        vals, active = jax.vmap(one)(keys)          # [K, R, 3], [K, R]
+        vals = np.asarray(vals)[:, np.asarray(active[0])]
+        return vals.mean(axis=(0, 1)), vals.mean(axis=1).std(axis=0)
+
+    def test_both_arms_match_analytic(self):
+        scene, refl = self._scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        rays = self._rays()
+        # analytic: integral over the hemisphere of cos*rho/pi * I = rho*I
+        expected = refl * 0.5
+
+        em_mean, em_std = self._mc(Direct(emitter_samples=1, bsdf_samples=0,
+                                          training=False), scene, params, rays)
+        mis_mean, mis_std = self._mc(Direct(emitter_samples=1, bsdf_samples=1,
+                                            training=False), scene, params,
+                                     rays)
+        np.testing.assert_allclose(em_mean, expected, rtol=0.05)
+        np.testing.assert_allclose(mis_mean, expected, rtol=0.02)
+        # the BSDF arm is near-zero-variance for diffuse + constant light:
+        # MIS must cut the per-key std significantly
+        assert (mis_std < 0.5 * em_std).all(), (mis_std, em_std)
+
+    def test_delta_lights_unchanged_by_bsdf_arm(self):
+        # delta lights are unhittable by BSDF rays: enabling the arm must
+        # not change the image (emitter arm keeps weight 1)
+        scene = simple_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        rays = self._rays(64)
+        v0, _, _ = Direct(training=False).sample(
+            scene, params, rays, key=jax.random.PRNGKey(1))
+        v1, _, _ = Direct(bsdf_samples=2, training=False).sample(
+            scene, params, rays, key=jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)

@@ -87,6 +87,42 @@ class TestDataParallel:
         # each device should hold 1/8 of the view axis
         assert len(sharded.sharding.device_set) == 8
 
+    def test_nondivisible_views_pad_shard_and_match(self):
+        """The flagship default (6 views on 8 devices) must really shard
+        AND produce the exact gradients of the unsharded 6-view step."""
+        from jax.sharding import PartitionSpec as P
+
+        n_views = 6
+        scene, opt, state, camera, exp, mask = build(n_views)
+        uv = (jnp.float32(8.0), jnp.float32(8.0))
+        key = jax.random.PRNGKey(1)
+        mesh8 = make_mesh(8)
+
+        # padding: view axis grows to 8 and actually shards over the mesh
+        sharded = shard_batch(exp, mesh8, n_views)
+        assert sharded.shape[0] == 8
+        assert sharded.sharding.spec == P("data")
+        # padded entries repeat the last view
+        np.testing.assert_array_equal(np.asarray(sharded[6]),
+                                      np.asarray(exp[5]))
+
+        step8 = make_parallel_train_step(scene, Direct(training=True), opt,
+                                         mesh8, n_views=n_views, size=32,
+                                         crop_size=16)
+        s8, aux8 = step8(replicate(state, mesh8), camera, uv, exp, mask, key)
+
+        from neural_raytracing_tpu.training import make_train_step
+        step1 = make_train_step(scene, Direct(training=True), opt,
+                                donate=False, size=32, crop_size=16)
+        s1, aux1 = step1(state, camera, uv, exp, mask, key)
+
+        np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)
+
     def test_dryrun_multichip(self):
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as g
