@@ -87,6 +87,21 @@ def linear(params, x):
     return x @ params["w"] + params["b"]
 
 
+def _weight_norm_init(key, fan_in: int, fan_out: int, mode: str):
+    """Weight-normed linear: w = g * v / ||v||, norm over fan_in (matches
+    torch.nn.utils.weight_norm's default dim=0 on a Linear).  g starts at
+    ||v|| so the initial function equals the plain layer."""
+    p = _linear_init(key, fan_in, fan_out, mode)
+    g = jnp.linalg.norm(p["w"], axis=0)
+    return {"v": p["w"], "g": g, "b": p["b"]}
+
+
+def wn_linear(params, x):
+    v = params["v"]
+    w = params["g"] * v / jnp.maximum(jnp.linalg.norm(v, axis=0), 1e-12)
+    return x @ w + params["b"]
+
+
 class SkipConnMLP:
     """Fourier-encoded MLP with periodic skip re-injection of the encoding.
 
@@ -192,14 +207,18 @@ class TwoStageMLP:
 
     apply: ``(params, i1[..., in_1], i2[..., in_2]) -> [..., out]``
 
-    The reference weight-norms the hidden linears; plain linears train
-    equivalently here and keep the params layout uniform for fused kernels.
+    Parity (neural_blocks.py:104-178): the HIDDEN linears of both stages
+    are weight-normed (nn.utils.weight_norm at :135,149 — w = g·v/||v||
+    per output neuron, g init'd to ||v||); init/inter/from_inter/out stay
+    plain.  ``weight_norm=False`` opts out (plain layout).
     """
 
     def __init__(self, in_1: int = 3, in_2: int = 3, intermediate: int = 1,
                  out: int = 3, num_layers: int = 6, hidden_size: int = 128,
                  skip: int = 3, freqs: int = 10, sigma: float = 64.0,
-                 activation="relu", init: str = "uniform"):
+                 activation="relu", init: str = "uniform",
+                 weight_norm: bool = True):
+        self.weight_norm = weight_norm
         self.in_1, self.in_2 = in_1, in_2
         self.intermediate = intermediate
         self.out_size = out
@@ -222,24 +241,25 @@ class TwoStageMLP:
         keys = jax.random.split(key, 2 * n + 6)
         skip1 = self.hidden_size + self.dim_1
         skip2 = self.hidden_size + self.mid_input
+        hidden_init = _weight_norm_init if self.weight_norm else _linear_init
         return {
             "B1": fourier_basis(keys[0], self.freqs, self.in_1, self.sigma),
             "B2": fourier_basis(keys[1], self.freqs, self.in_2, self.sigma),
             "init": _linear_init(keys[2], self.dim_1, self.hidden_size,
                                  self.init_mode),
             "layers1": tuple(
-                _linear_init(keys[3 + i],
-                             skip1 if self._is_skip_layer(i) else self.hidden_size,
-                             self.hidden_size, self.init_mode)
+                hidden_init(keys[3 + i],
+                            skip1 if self._is_skip_layer(i) else self.hidden_size,
+                            self.hidden_size, self.init_mode)
                 for i in range(n)),
             "inter": _linear_init(keys[3 + n], self.hidden_size,
                                   self.intermediate, self.init_mode),
             "from_inter": _linear_init(keys[4 + n], self.mid_input,
                                        self.hidden_size, self.init_mode),
             "layers2": tuple(
-                _linear_init(keys[5 + n + i],
-                             skip2 if self._is_skip_layer(i) else self.hidden_size,
-                             self.hidden_size, self.init_mode)
+                hidden_init(keys[5 + n + i],
+                            skip2 if self._is_skip_layer(i) else self.hidden_size,
+                            self.hidden_size, self.init_mode)
                 for i in range(n)),
             "out": _linear_init(keys[5 + 2 * n], self.hidden_size,
                                 self.out_size, self.init_mode),
@@ -248,12 +268,13 @@ class TwoStageMLP:
     def __call__(self, params: dict, i1: jax.Array, i2: jax.Array) -> jax.Array:
         batches = i1.shape[:-1]
         act = self.activation
+        hidden = wn_linear if self.weight_norm else linear
         enc1 = fourier_encode(i1.reshape(-1, self.in_1), params["B1"])
         h = linear(params["init"], enc1)
         for i in range(self.num_layers):
             if self._is_skip_layer(i):
                 h = jnp.concatenate([h, enc1], axis=-1)
-            h = linear(params["layers1"][i], act(h))
+            h = hidden(params["layers1"][i], act(h))
         h = jax.nn.sigmoid(linear(params["inter"], act(h)))
         enc2 = fourier_encode(i2.reshape(-1, self.in_2), params["B2"])
         mid = jnp.concatenate([h, enc2], axis=-1)
@@ -261,7 +282,7 @@ class TwoStageMLP:
         for i in range(self.num_layers):
             if self._is_skip_layer(i):
                 h = jnp.concatenate([h, mid], axis=-1)
-            h = linear(params["layers2"][i], act(h))
+            h = hidden(params["layers2"][i], act(h))
         out = linear(params["out"], act(h))
         return out.reshape(batches + (self.out_size,))
 

@@ -84,6 +84,26 @@ class TestTwoStageMLP:
         assert y.shape == (4, 6, 3)
         assert np.isfinite(np.asarray(y)).all()
 
+    def test_weight_norm_parity(self):
+        """Hidden layers are weight-normed (ref neural_blocks.py:135,149):
+        g init'd to ||v|| makes the initial function equal the plain layout,
+        and both g and v receive gradients."""
+        kw = dict(in_1=3, in_2=2, out=3, num_layers=2, hidden_size=16,
+                  freqs=4)
+        wn = TwoStageMLP(**kw)
+        plain = TwoStageMLP(weight_norm=False, **kw)
+        p_wn = wn.init(jax.random.PRNGKey(0))
+        p_plain = plain.init(jax.random.PRNGKey(0))
+        assert "v" in p_wn["layers1"][0] and "g" in p_wn["layers1"][0]
+        a = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+        b = jax.random.normal(jax.random.PRNGKey(2), (8, 2))
+        np.testing.assert_allclose(np.asarray(wn(p_wn, a, b)),
+                                   np.asarray(plain(p_plain, a, b)),
+                                   rtol=1e-5, atol=1e-6)
+        g = jax.grad(lambda p: jnp.sum(wn(p, a, b)))(p_wn)
+        assert float(jnp.abs(g["layers1"][0]["g"]).sum()) > 0
+        assert float(jnp.abs(g["layers1"][0]["v"]).sum()) > 0
+
 
 class TestAutoDecoders:
     def test_auto_decoder(self):
