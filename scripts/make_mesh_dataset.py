@@ -1,0 +1,304 @@
+"""Generate datasets whose GT geometry is a real TRIANGLE MESH.
+
+The colocate/nerv generators in make_dataset.py use smooth-min SDF blobs —
+exactly the function class a SphereSDF fits natively, so reconstruction
+metrics flatter the system.  This generator renders hard geometry through
+``TriangleMesh`` (the same role as the reference's Mitsuba renders of
+teapot/armadillo/bunny OBJs, mitsuba_scenes/cbox_relight/cbox.py:110-145):
+
+  * ``knot``  — a trefoil-knot tube: genus-1 topology, thin curved tube
+  * ``ico``   — a displaced icosphere: lumpy, non-convex, faceted creases
+  * ``gear``  — an extruded star prism: flat faces, sharp dihedral edges
+
+Formats:
+  * ``nerf``     — transforms_{train,test}.json + RGBA (static point light),
+                   consumed by scripts/nerf_synthetic.py
+  * ``colocate`` — {kind}_{i}_{j}.png elev/azim grid with colocated light
+                   (+ optional relight grid), consumed by scripts/colocate.py
+
+    python scripts/make_mesh_dataset.py --out /tmp/knot --kind knot \
+        --format nerf --size 256 --train-views 100 --test-views 16
+"""
+
+import json
+import math
+import os
+
+import numpy as np
+
+from _common import base_parser, force_cpu_if_requested
+
+
+def trefoil_knot(rings: int = 160, segments: int = 20,
+                 tube_radius: float = 0.10, scale: float = 0.12):
+    """Trefoil-knot tube mesh via Frenet frames -> (verts, faces)."""
+    t = np.linspace(0.0, 2.0 * np.pi, rings, endpoint=False)
+    c = np.stack([np.sin(t) + 2.0 * np.sin(2.0 * t),
+                  np.cos(t) - 2.0 * np.cos(2.0 * t),
+                  -np.sin(3.0 * t)], axis=-1) * scale
+    # Frenet frame (the trefoil has nonvanishing curvature)
+    dc = np.stack([np.cos(t) + 4.0 * np.cos(2.0 * t),
+                   -np.sin(t) + 4.0 * np.sin(2.0 * t),
+                   -3.0 * np.cos(3.0 * t)], axis=-1)
+    ddc = np.stack([-np.sin(t) - 8.0 * np.sin(2.0 * t),
+                    -np.cos(t) + 8.0 * np.cos(2.0 * t),
+                    9.0 * np.sin(3.0 * t)], axis=-1)
+    tang = dc / np.linalg.norm(dc, axis=-1, keepdims=True)
+    nrm = ddc - np.sum(ddc * tang, -1, keepdims=True) * tang
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    binrm = np.cross(tang, nrm)
+
+    phi = np.linspace(0.0, 2.0 * np.pi, segments, endpoint=False)
+    ring = (np.cos(phi)[None, :, None] * nrm[:, None, :]
+            + np.sin(phi)[None, :, None] * binrm[:, None, :])
+    verts = (c[:, None, :] + tube_radius * ring).reshape(-1, 3)
+
+    faces = []
+    for i in range(rings):
+        for j in range(segments):
+            a = i * segments + j
+            b = i * segments + (j + 1) % segments
+            c2 = ((i + 1) % rings) * segments + j
+            d = ((i + 1) % rings) * segments + (j + 1) % segments
+            faces.append([a, b, d])
+            faces.append([a, d, c2])
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
+def icosphere(subdiv: int = 3):
+    """Unit icosphere -> (verts, faces)."""
+    p = (1.0 + math.sqrt(5.0)) / 2.0
+    verts = np.asarray([
+        [-1, p, 0], [1, p, 0], [-1, -p, 0], [1, -p, 0],
+        [0, -1, p], [0, 1, p], [0, -1, -p], [0, 1, -p],
+        [p, 0, -1], [p, 0, 1], [-p, 0, -1], [-p, 0, 1]], np.float64)
+    verts /= np.linalg.norm(verts, axis=-1, keepdims=True)
+    faces = np.asarray([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int64)
+    for _ in range(subdiv):
+        cache, new_faces = {}, []
+        verts = list(verts)
+
+        def midpoint(a, b):
+            k = (min(a, b), max(a, b))
+            if k not in cache:
+                m = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2.0
+                verts.append(m / np.linalg.norm(m))
+                cache[k] = len(verts) - 1
+            return cache[k]
+
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        verts = np.asarray(verts)
+        faces = np.asarray(new_faces, np.int64)
+    return verts, faces
+
+
+def displaced_icosphere(subdiv: int = 3, base_r: float = 0.38,
+                        amp: float = 0.18):
+    """Lumpy non-convex icosphere: radial displacement by angular waves."""
+    v, f = icosphere(subdiv)
+    x, y, z = v[:, 0], v[:, 1], v[:, 2]
+    disp = (np.sin(4.0 * np.arctan2(y, x)) * np.sin(3.0 * np.arccos(
+        np.clip(z, -1, 1))) + 0.5 * np.cos(7.0 * x) * np.sin(6.0 * y))
+    r = base_r * (1.0 + amp * disp)
+    return (v * r[:, None]).astype(np.float32), f.astype(np.int32)
+
+
+def star_prism(teeth: int = 9, r_outer: float = 0.50, r_inner: float = 0.28,
+               half_height: float = 0.18):
+    """Extruded star polygon: flat faces + sharp dihedral edges."""
+    n = 2 * teeth
+    ang = np.arange(n) * (2.0 * np.pi / n)
+    rad = np.where(np.arange(n) % 2 == 0, r_outer, r_inner)
+    ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=-1)
+    top = np.concatenate([ring, np.full((n, 1), half_height)], axis=-1)
+    bot = np.concatenate([ring, np.full((n, 1), -half_height)], axis=-1)
+    verts = np.concatenate(
+        [top, bot, [[0, 0, half_height]], [[0, 0, -half_height]]], axis=0)
+    ci_t, ci_b = 2 * n, 2 * n + 1
+    faces = []
+    for i in range(n):
+        j = (i + 1) % n
+        faces.append([ci_t, i, j])                       # top cap
+        faces.append([ci_b, n + j, n + i])               # bottom cap
+        faces.append([i, n + i, n + j])                  # side
+        faces.append([i, n + j, j])
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
+MESHES = {"knot": trefoil_knot, "ico": displaced_icosphere,
+          "gear": star_prism}
+
+
+def build_gt_scene(kind: str, light_scale: float, occlusion: str = "hard"):
+    import jax.numpy as jnp
+
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import (
+        ComposeSpatialVarying, Conductor, Diffuse,
+    )
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.nn import SkipConnMLP
+    from neural_raytracing_tpu.shapes import TriangleMesh
+
+    verts, faces = MESHES[kind]()
+    shape = TriangleMesh(verts, faces)
+    bsdf = ComposeSpatialVarying(
+        [Diffuse((0.7, 0.3, 0.2)), Diffuse((0.2, 0.4, 0.7)), Conductor()],
+        sp_var_fn=SkipConnMLP(in_size=3, out=3, num_layers=2, hidden_size=32,
+                              freqs=8, sigma=8.0))
+    lights = PointLights(scale=light_scale)
+    return nrt.Scene(shape=shape, bsdf=bsdf, lights=lights,
+                     occlusion=occlusion)
+
+
+def main():
+    ap = base_parser(__doc__)
+    ap.add_argument("--out", type=str, required=True)
+    ap.add_argument("--kind", type=str, default="knot",
+                    choices=sorted(MESHES))
+    ap.add_argument("--format", type=str, default="nerf",
+                    choices=["nerf", "colocate"])
+    ap.add_argument("--train-views", type=int, default=100)
+    ap.add_argument("--test-views", type=int, default=16)
+    ap.add_argument("--n-elev", type=int, default=8)
+    ap.add_argument("--n-azim", type=int, default=8)
+    ap.add_argument("--relight", action="store_true")
+    ap.add_argument("--light-scale", type=float, default=0.0,
+                    help="point-light scale; 0 = auto-expose so the GT "
+                         "p99.5 radiance lands at ~0.85 (unclipped)")
+    ap.set_defaults(size=256)
+    args = ap.parse_args()
+    force_cpu_if_requested(args)
+
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.cameras import (
+        FoVPerspectiveCamera, NeRFCamera, look_at_view_transform,
+    )
+    from neural_raytracing_tpu.integrators import Direct, Mask
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from test_e2e_nerf import nerf_c2w
+
+    scene = build_gt_scene(args.kind, light_scale=1.0)
+    params = scene.init(jax.random.PRNGKey(7))
+    integrator = Mask(Direct(training=False))
+    chunk = min(args.size, 128)
+
+    def render(cam, light_loc, scale):
+        p = dict(params)
+        p["lights"] = dict(p["lights"],
+                           location=jnp.atleast_2d(jnp.asarray(light_loc)),
+                           scale=jnp.float32(scale))
+        img, _ = nrt.pathtrace(scene, p, cam, integrator, size=args.size,
+                               chunk_size=chunk, background=0.0,
+                               key=jax.random.PRNGKey(0))
+        return np.asarray(img)
+
+    nerf_light = np.asarray([1.6, 2.2, 1.4], np.float32)
+    nerf_ca = math.radians(60.0)
+    nerf_focal = 0.5 * args.size / math.tan(0.5 * nerf_ca)
+
+    # auto exposure: probe 2 views with the format's ACTUAL light config,
+    # set scale so p99.5 of lit pixels ~ 0.85 (clipped GT destabilizes
+    # inverse rendering; dark GT flatters PSNR vs the black baseline)
+    scale = args.light_scale
+    if scale <= 0:
+        probes = []
+        for elev, azim in [(15.0, 30.0), (35.0, -120.0)]:
+            if args.format == "nerf":
+                c2w = nerf_c2w(elev, azim, dist=1.2)
+                cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
+                                 focal=nerf_focal)
+                loc = nerf_light
+            else:
+                r, t = look_at_view_transform(dist=1.0, elev=elev, azim=azim)
+                cam = FoVPerspectiveCamera(R=r, T=t)
+                loc = np.asarray(cam.camera_center())[0] * 1.05
+            probes.append(render(cam, loc, 1.0))
+        lit = np.concatenate([p[..., :3][p[..., 3] > 0.5] for p in probes])
+        scale = 0.85 / max(float(np.percentile(lit, 99.5)), 1e-6)
+        print(f"auto light scale: {scale:.3f}")
+
+    os.makedirs(args.out, exist_ok=True)
+    meta = {"kind": args.kind, "format": args.format, "size": args.size,
+            "light_scale": scale}
+    json.dump(meta, open(os.path.join(args.out, "meta.json"), "w"))
+
+    if args.format == "nerf":
+        # static illumination (one fixed point light; light-field-learnable)
+        light = nerf_light
+        ca = nerf_ca
+        rng = np.random.default_rng(args.seed)
+        for split, n in [("train", args.train_views),
+                         ("test", args.test_views)]:
+            os.makedirs(os.path.join(args.out, split), exist_ok=True)
+            frames = []
+            for i in range(n):
+                c2w = nerf_c2w(rng.uniform(-10, 55), rng.uniform(-180, 180),
+                               dist=1.2)
+                cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
+                                 focal=nerf_focal)
+                img = render(cam, light, scale)
+                Image.fromarray(
+                    (np.clip(img, 0, 1) * 255).astype(np.uint8),
+                    "RGBA").save(os.path.join(args.out, split, f"r_{i}.png"))
+                frames.append({"file_path": f"{split}/r_{i}",
+                               "transform_matrix": c2w.tolist()})
+                if (i + 1) % 10 == 0:
+                    print(split, i + 1, "/", n)
+            json.dump(
+                {"camera_angle_x": ca, "frames": frames},
+                open(os.path.join(args.out,
+                                  f"transforms_{split}.json"), "w"))
+    else:
+        elevs = np.linspace(0.0, 45.0, args.n_elev)
+        azims = np.linspace(-135.0, 135.0, args.n_azim)
+        for i, elev in enumerate(elevs):
+            for j, azim in enumerate(azims):
+                r, t = look_at_view_transform(dist=1.0, elev=elev, azim=azim)
+                cam = FoVPerspectiveCamera(R=r, T=t)
+                loc = np.asarray(cam.camera_center())[0] * 1.05
+                img = render(cam, loc, scale)
+                Image.fromarray(
+                    (np.clip(img, 0, 1) * 255).astype(np.uint8), "RGBA"
+                ).save(os.path.join(args.out, f"{args.kind}_{i}_{j}.png"))
+            print(f"row {i + 1}/{args.n_elev} done")
+        if args.relight:
+            for i, ce in enumerate(np.linspace(0.0, 45.0, 4)):
+                for j, ca2 in enumerate(np.linspace(-135.0, 135.0, 4)):
+                    r, t = look_at_view_transform(dist=1.0, elev=ce,
+                                                  azim=ca2)
+                    cam = FoVPerspectiveCamera(R=r, T=t)
+                    for k, le in enumerate(np.linspace(10.0, 60.0, 3)):
+                        for l, la in enumerate(np.linspace(-90.0, 90.0, 3)):
+                            r2, t2 = look_at_view_transform(
+                                dist=1.05, elev=le, azim=la)
+                            loc = np.asarray(FoVPerspectiveCamera(
+                                R=r2, T=t2).camera_center())[0]
+                            img = render(cam, loc, scale)
+                            Image.fromarray(
+                                (np.clip(img, 0, 1) * 255).astype(np.uint8),
+                                "RGBA").save(os.path.join(
+                                    args.out,
+                                    f"gt_{args.kind}_{i}_{j}_{k}_{l}.png"))
+                print(f"relight row {i + 1}/4 done")
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,9 @@ def main():
                     help="zero-out weight-net head (collapse-resistant)")
     ap.add_argument("--weight-reg", type=float, default=0.0,
                     help="weight-diversity regularizer coefficient")
+    ap.add_argument("--valid-freq", type=int, default=2500,
+                    help="full-frame validation render + PSNR every N steps "
+                         "(0 disables); curves land in the metrics file")
     args = ap.parse_args()
     force_cpu_if_requested(args)
 
@@ -120,17 +123,52 @@ def main():
                 jnp.sqrt(jnp.maximum(var, 1e-12)))
         return loss
 
+    # per-step scalars + periodic validation PSNR, persisted as JSONL so
+    # convergence (vs early-stop or collapse) is auditable after the run
+    import json
+    import math as _math
+
+    import neural_raytracing_tpu as nrt
+
+    metrics: list = []
+    metrics_path = f"{args.outputs}/metrics_{name}.jsonl"
+
+    def valid_fn(st, i):
+        img, _ = nrt.pathtrace(
+            scene, st.params, make_camera([0]), Direct(training=False),
+            size=args.size, chunk_size=min(args.size, 128), background=0.0,
+            key=jax.random.PRNGKey(0))
+        got = np.clip(np.asarray(img)[..., :3], 0.0, 1.0)
+        mse = float(np.mean((got - np.asarray(
+            data.images[0][..., :3])) ** 2))
+        psnr = 10.0 * _math.log10(1.0 / max(mse, 1e-10))
+        metrics.append({"step": int(i), "valid_psnr": psnr})
+        save_image(f"{args.outputs}/valid_{name}_{int(i):06}.png", got)
+        print(f"valid @ {int(i)}: PSNR {psnr:.2f}")
+
+    def flush_metrics():
+        os.makedirs(args.outputs, exist_ok=True)
+        with open(metrics_path, "w") as f:
+            for m in metrics:
+                f.write(json.dumps(m) + "\n")
+
     if args.iters > 0:
-        state, _ = train(
-            scene, Direct(training=True), opt, state, make_camera,
-            data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
-            size=args.size, crop_size=args.crop_size, iters=args.iters,
-            n_views=args.n_views, log_every=args.log_every, mesh=mesh,
-            extra_loss=extra_loss,
-            save_fn=lambda st, i: (
-                save_scene(model_dir, st.params, step=i),
-                save_train_state(state_path, st.params, st.opt_state, i)),
-            ckpt_freq=max(args.iters // 5 - 1, 1))
+        try:
+            state, _ = train(
+                scene, Direct(training=True), opt, state, make_camera,
+                data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
+                size=args.size, crop_size=args.crop_size, iters=args.iters,
+                n_views=args.n_views, log_every=args.log_every, mesh=mesh,
+                extra_loss=extra_loss, metrics=metrics,
+                valid_fn=valid_fn if args.valid_freq else None,
+                valid_freq=args.valid_freq,
+                save_fn=lambda st, i: (
+                    save_scene(model_dir, st.params, step=i),
+                    save_train_state(state_path, st.params, st.opt_state, i),
+                    flush_metrics()),
+                ckpt_freq=max(args.iters // 5 - 1, 1))
+        finally:
+            flush_metrics()
         save_scene(model_dir, state.params, step=args.iters)
         save_train_state(state_path, state.params, state.opt_state,
                          args.iters)
@@ -141,7 +179,7 @@ def main():
         test_scene = build_scene(max_steps=args.test_max_steps,
                                  surface=args.surface,
                                  stable_init=args.stable_init)
-        evaluate(
+        results = evaluate(
             test_scene, state.params,
             lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],
                                  focal=test.focal),
@@ -149,6 +187,8 @@ def main():
             size=args.size, chunk_size=min(args.size, 128),
             save_fn=lambda i, im: save_image(
                 f"{args.outputs}/test_{name}_{i:03}.png", im))
+        metrics.append({"step": int(args.iters), "test": results})
+        flush_metrics()
 
 
 if __name__ == "__main__":
