@@ -21,6 +21,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .scene import Scene
 
@@ -79,21 +80,75 @@ def _render_tile(scene, integrator, params, camera, x_start, y_start,
     return v, it
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("scene", "integrator", "chunk", "n_tiles",
+                     "bundle_size", "size", "with_noise", "training"))
+def _render_tiles_scanned(scene, integrator, params, camera, key, background,
+                          chunk: int, n_tiles: int, bundle_size: int,
+                          size: int, with_noise, training: bool):
+    """ONE dispatch for the whole image: ``lax.map`` over the tile grid.
+
+    The per-tile Python loop paid tunnel/dispatch latency per tile, making
+    eval renders ~2x slower per ray than training; the in-device tile scan
+    reuses the single traced tile body.  RNG per tile is
+    ``fold_in(key, linear_index)`` — identical to the loop path.
+    """
+
+    def body(idx):
+        x0 = (idx // n_tiles).astype(jnp.float32) * chunk
+        y0 = (idx % n_tiles).astype(jnp.float32) * chunk
+        positions = _tile_positions(x0, y0, chunk)
+        ckey = ikey = None
+        if key is not None:
+            ckey, ikey = jax.random.split(jax.random.fold_in(key, idx))
+        rays = camera.sample_positions(positions, key=ckey,
+                                       bundle_size=bundle_size, size=size,
+                                       with_noise=with_noise)
+        values, mask, _ = integrator.sample(scene, params, rays, key=ikey,
+                                            training=training)
+        valid = jnp.any(mask, axis=-1)                   # [N, c, c]
+        v = jnp.mean(values, axis=-2)                    # [N, c, c, dims]
+        return jnp.where(valid[..., None], v, background)
+
+    tiles = lax.map(body, jnp.arange(n_tiles * n_tiles))  # [T, N, c, c, d]
+    n, d = tiles.shape[1], tiles.shape[-1]
+    img = tiles.reshape(n_tiles, n_tiles, n, chunk, chunk, d)
+    img = jnp.transpose(img, (2, 0, 3, 1, 4, 5))
+    return img.reshape(n, n_tiles * chunk, n_tiles * chunk, d)
+
+
 def pathtrace(scene: Scene, params: dict, camera, integrator,
               size: int = 512, chunk_size: int = 32, bundle_size: int = 4,
               background: float = 1.0, key: Optional[jax.Array] = None,
               with_noise=1e-3, training: bool = False,
-              squeeze_first: bool = True):
-    """Full-image render; returns ``(images [N, W, H, dims], last it)``."""
+              squeeze_first: bool = True, scan_tiles: bool = True):
+    """Full-image render; returns ``(images [N, W, H, dims], last it)``.
+
+    ``scan_tiles=True`` (default) renders the whole tile grid in one jitted
+    dispatch (`lax.map`); ``False`` keeps the per-tile host loop, whose
+    return carries the last tile's interaction.  Both produce identical
+    images (same per-tile fold_in keys).
+    """
     assert size % chunk_size == 0, \
         f"chunk_size must divide size ({size} % {chunk_size})"
     _retain(scene, integrator)
     n = len(camera)
     dims = integrator.dims()
-    out = np.full((n, size, size, dims), background, dtype=np.float32)
     bg = jnp.float32(background)
-
     n_tiles = size // chunk_size
+
+    if scan_tiles:
+        img = _render_tiles_scanned(
+            scene, integrator, params, camera, key, bg,
+            chunk=chunk_size, n_tiles=n_tiles, bundle_size=bundle_size,
+            size=size, with_noise=with_noise, training=training)
+        out = np.asarray(img)
+        if squeeze_first and n == 1:
+            out = out[0]
+        return out, None
+
+    out = np.full((n, size, size, dims), background, dtype=np.float32)
     it = None
     tiles = []
     for ti in range(n_tiles):

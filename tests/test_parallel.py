@@ -177,3 +177,54 @@ class TestShardedHelpers:
             n_views=n_views, mesh=make_mesh(8), log_every=0)
         assert len(losses) == 3
         assert all(np.isfinite(losses))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestFusedKernelsUnderSharding:
+    """Fused Pallas march/min-scan kernels composed with the data-parallel
+    mesh (interpret mode off-TPU): the sharded step must match the
+    unsharded step with the SAME kernels enabled."""
+
+    def fused_scene(self):
+        sdf = SDF(SphereSDF(n=8, mlp=SkipConnMLP(
+            in_size=3, out=1, num_layers=2, hidden_size=16, freqs=4,
+            activation="softplus", init="zeros")),
+            max_steps=4, throughput_steps=4, fused_loops="force")
+        return nrt.Scene(shape=sdf, bsdf=Diffuse(),
+                         lights=PointLights(location=(0.0, 1.0, 4.0),
+                                            scale=50.0))
+
+    def test_sharded_step_with_fused_kernels(self):
+        scene = self.fused_scene()
+        opt = make_optimizer({"shape": 1e-3, "bsdf": 1e-3, "lights": 1e-3})
+        state = init_train_state(scene, opt, jax.random.PRNGKey(0))
+        n_views = 8
+        r, t = look_at_view_transform(dist=2.0,
+                                      elev=np.linspace(0, 30, n_views),
+                                      azim=np.linspace(-45, 45, n_views))
+        camera = FoVPerspectiveCamera(R=r, T=t)
+        exp = jnp.zeros((n_views, 8, 8, 3))
+        mask = jnp.ones((n_views, 8, 8))
+        uv = (jnp.float32(4.0), jnp.float32(4.0))
+        key = jax.random.PRNGKey(1)
+
+        from neural_raytracing_tpu.training import make_train_step
+        step1 = make_train_step(scene, Direct(training=True), opt,
+                                donate=False, size=16, crop_size=8)
+        s1, aux1 = step1(state, camera, uv, exp, mask, key)
+
+        mesh8 = make_mesh(8)
+        step8 = make_parallel_train_step(scene, Direct(training=True), opt,
+                                         mesh8, n_views=n_views, size=16,
+                                         crop_size=8)
+        s8, aux8 = step8(replicate(state, mesh8),
+                         shard_batch(camera, mesh8, n_views), uv,
+                         shard_batch(exp, mesh8, n_views),
+                         shard_batch(mask, mesh8, n_views), key)
+
+        np.testing.assert_allclose(float(aux1["loss"]), float(aux8["loss"]),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s8.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-4)

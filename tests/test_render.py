@@ -96,3 +96,35 @@ def test_equal_config_integrators_share_jit_cache():
                       key=jax.random.PRNGKey(k), background=0.0)
     added = _render_tile._cache_size() - before
     assert added <= 1, f"tile fn retraced {added} times for equal integrators"
+
+
+class TestScannedTiles:
+    def test_scanned_matches_loop(self):
+        """The one-dispatch lax.map tile render must match the per-tile
+        host loop bit-for-bit (same per-tile fold_in keys)."""
+        scene = small_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        r, t = look_at_view_transform(dist=1.2, elev=10.0, azim=20.0)
+        cam = FoVPerspectiveCamera(R=r, T=t)
+        kw = dict(size=32, chunk_size=16, bundle_size=2, background=0.25,
+                  key=jax.random.PRNGKey(3))
+        scanned, it_s = nrt.pathtrace(scene, params, cam,
+                                      Direct(training=False),
+                                      scan_tiles=True, **kw)
+        looped, _ = nrt.pathtrace(scene, params, cam, Direct(training=False),
+                                  scan_tiles=False, **kw)
+        assert it_s is None
+        np.testing.assert_array_equal(np.asarray(scanned),
+                                      np.asarray(looped))
+
+    def test_scanned_multiview_shape(self):
+        scene = small_scene()
+        params = scene.init(jax.random.PRNGKey(0))
+        r, t = look_at_view_transform(dist=1.2, elev=np.asarray([0.0, 20.0]),
+                                      azim=np.asarray([0.0, 45.0]))
+        cam = FoVPerspectiveCamera(R=r, T=t)
+        img, _ = nrt.pathtrace(scene, params, cam, Direct(training=False),
+                               size=32, chunk_size=16, background=0.0,
+                               key=jax.random.PRNGKey(1))
+        assert img.shape == (2, 32, 32, 3)
+        assert np.isfinite(img).all()
