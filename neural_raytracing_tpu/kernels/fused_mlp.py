@@ -287,6 +287,234 @@ def _pallas_backward(mlp: SkipConnMLP, params, x, g, block_rows: int = 256,
     return dparams, dx
 
 
+def _segment_bounds(num_layers: int, n_segments: int):
+    """Contiguous hidden-layer segments [(l0, l1), ...] covering [0, L)."""
+    edges = np.linspace(0, num_layers, n_segments + 1).round().astype(int)
+    return [(int(edges[s]), int(edges[s + 1]))
+            for s in range(n_segments) if edges[s + 1] > edges[s]]
+
+
+def _build_ckpt_kernel(mlp: SkipConnMLP, boundaries):
+    """Forward recompute that writes ONLY the boundary preactivations.
+
+    ``boundaries`` is a sorted tuple of indices into the hs chain
+    (hs[0] = init output, hs[i+1] = layer i output); one output ref each.
+    """
+    act = mlp.activation
+    L = mlp.num_layers
+    bset = set(boundaries)
+
+    def kernel(*refs):
+        x_ref, b_ref = refs[0], refs[1]
+        init_w, init_b = refs[2], refs[3]
+        layer_refs = refs[4: 4 + 2 * L]
+        out_refs = refs[4 + 2 * L:]
+
+        f32 = jnp.float32
+        x = x_ref[:]
+        mapped = jnp.dot(x, b_ref[:], preferred_element_type=f32)
+        enc = jnp.concatenate([x, jnp.sin(mapped), jnp.cos(mapped)], axis=-1)
+        act_enc = act(enc)
+        h = jnp.dot(enc, init_w[:], preferred_element_type=f32) + init_b[:]
+        oi = 0
+        if 0 in bset:
+            out_refs[oi][:] = h
+            oi += 1
+        for i in range(L):
+            if mlp._is_skip_layer(i):
+                a = jnp.concatenate([act(h), act_enc], axis=-1)
+            else:
+                a = act(h)
+            h = (jnp.dot(a, layer_refs[2 * i][:], preferred_element_type=f32)
+                 + layer_refs[2 * i + 1][:])
+            if (i + 1) in bset:
+                out_refs[oi][:] = h
+                oi += 1
+
+    return kernel
+
+
+def _build_seg_bwd_kernel(mlp: SkipConnMLP, l0: int, l1: int):
+    """Backward for hidden layers [l0, l1): recompute the segment forward
+    from the checkpointed hs[l0], then backprop.
+
+    inputs:  x, h_in (hs[l0]), g_out (dL/d hs[l1]), B, per-layer (w, b)
+    outputs: g_in (dL/d hs[l0]), genc_act partial, per-layer (dw, db)
+    """
+    from jax.experimental import pallas as pl
+
+    from ..nn.mlp import ACTIVATION_GRADS
+
+    act = mlp.activation
+    dact = ACTIVATION_GRADS[mlp.activation_name]
+    n_layers = l1 - l0
+
+    def matT(a, b):
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def kernel(*refs):
+        x_ref, h_in_ref, g_ref, b_ref = refs[:4]
+        idx = 4
+        layer_refs = refs[idx: idx + 2 * n_layers]
+        idx += 2 * n_layers
+        g_in_ref, genc_ref = refs[idx], refs[idx + 1]
+        d_layer_refs = refs[idx + 2:]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in d_layer_refs:
+                r[:] = jnp.zeros_like(r)
+
+        f32 = jnp.float32
+        x = x_ref[:]
+        mapped = jnp.dot(x, b_ref[:], preferred_element_type=f32)
+        enc = jnp.concatenate([x, jnp.sin(mapped), jnp.cos(mapped)], axis=-1)
+        act_enc = act(enc)
+
+        hs = [h_in_ref[:]]
+        a_list = []
+        for k in range(n_layers):
+            i = l0 + k
+            if mlp._is_skip_layer(i):
+                a = jnp.concatenate([act(hs[-1]), act_enc], axis=-1)
+            else:
+                a = act(hs[-1])
+            a_list.append(a)
+            hs.append(jnp.dot(a, layer_refs[2 * k][:],
+                              preferred_element_type=f32)
+                      + layer_refs[2 * k + 1][:])
+
+        gh = g_ref[:]
+        genc_act = jnp.zeros_like(enc)
+        for k in reversed(range(n_layers)):
+            i = l0 + k
+            d_layer_refs[2 * k][:] += matT(a_list[k], gh)
+            d_layer_refs[2 * k + 1][:] += jnp.sum(gh, axis=0, keepdims=True)
+            ga = jnp.dot(gh, layer_refs[2 * k][:].T,
+                         preferred_element_type=f32)
+            if mlp._is_skip_layer(i):
+                gh = ga[:, :mlp.hidden_size] * dact(hs[k])
+                genc_act = genc_act + ga[:, mlp.hidden_size:]
+            else:
+                gh = ga * dact(hs[k])
+        g_in_ref[:] = gh
+        genc_ref[:] = genc_act
+
+    return kernel
+
+
+def _pallas_backward_segmented(mlp: SkipConnMLP, params, x, g,
+                               n_segments: int = 4, block_rows: int = 256,
+                               interpret: bool = False):
+    """Checkpointed multi-kernel backward.
+
+    The monolithic bwd kernel unrolls all 2L layers in one Mosaic program —
+    compile time blows past 9 min for the 16x256 shading net (CLAUDE.md).
+    Splitting into a boundary-checkpoint forward + one kernel per layer
+    segment keeps every program ~L/S layers deep; the extra HBM traffic is
+    just the (S+1) boundary activations and inter-segment grads.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..nn.mlp import ACTIVATION_GRADS, fourier_encode
+
+    act = mlp.activation
+    dact = ACTIVATION_GRADS[mlp.activation_name]
+    L = mlp.num_layers
+    segs = _segment_bounds(L, n_segments)
+    boundaries = tuple(sorted({s[0] for s in segs} | {L}))
+
+    batches = x.shape[:-1]
+    flat = x.reshape(-1, mlp.in_size)
+    gflat = g.reshape(-1, mlp.out_size)
+    n = flat.shape[0]
+    n_pad = max(-(-n // block_rows) * block_rows, block_rows)
+    flat = jnp.pad(flat, ((0, n_pad - n), (0, 0)))
+    gflat = jnp.pad(gflat, ((0, n_pad - n), (0, 0)))
+
+    grid = (n_pad // block_rows,)
+    row_spec = lambda width: pl.BlockSpec(
+        (block_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    full = lambda w: pl.BlockSpec(w.shape, lambda i: (0,) * w.ndim,
+                                  memory_space=pltpu.VMEM)
+    enc_dim = mlp.enc_size
+
+    # 1) boundary-checkpoint forward
+    all_weights = [params["B"], params["init"]["w"],
+                   params["init"]["b"].reshape(1, -1)]
+    for layer in params["layers"]:
+        all_weights.extend([layer["w"], layer["b"].reshape(1, -1)])
+    hs_bounds = pl.pallas_call(
+        _build_ckpt_kernel(mlp, boundaries),
+        grid=grid,
+        in_specs=[row_spec(mlp.in_size)] + [full(w) for w in all_weights],
+        out_specs=[row_spec(mlp.hidden_size)] * len(boundaries),
+        out_shape=[jax.ShapeDtypeStruct((n_pad, mlp.hidden_size),
+                                        jnp.float32)] * len(boundaries),
+        interpret=interpret,
+    )(flat, *all_weights)
+    hs_at = dict(zip(boundaries, hs_bounds))
+
+    # 2) out layer (plain XLA: two matmuls)
+    a_out = act(hs_at[L])
+    d_out_w = a_out.T @ gflat
+    d_out_b = jnp.sum(gflat, axis=0)
+    gh = (gflat @ params["out"]["w"].T) * dact(hs_at[L])
+
+    # 3) per-segment bwd kernels, deepest first
+    d_layers: dict = {}
+    genc_act = jnp.zeros((n_pad, enc_dim), jnp.float32)
+    for (l0, l1) in reversed(segs):
+        seg_weights = []
+        for i in range(l0, l1):
+            seg_weights.extend([params["layers"][i]["w"],
+                                params["layers"][i]["b"].reshape(1, -1)])
+        grad_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                       for w in seg_weights]
+        outs = pl.pallas_call(
+            _build_seg_bwd_kernel(mlp, l0, l1),
+            grid=grid,
+            in_specs=([row_spec(mlp.in_size), row_spec(mlp.hidden_size),
+                       row_spec(mlp.hidden_size), full(params["B"])]
+                      + [full(w) for w in seg_weights]),
+            out_specs=([row_spec(mlp.hidden_size), row_spec(enc_dim)]
+                       + [full(w) for w in seg_weights]),
+            out_shape=([jax.ShapeDtypeStruct((n_pad, mlp.hidden_size),
+                                             jnp.float32),
+                        jax.ShapeDtypeStruct((n_pad, enc_dim), jnp.float32)]
+                       + grad_shapes),
+            interpret=interpret,
+        )(flat, hs_at[l0], gh, params["B"], *seg_weights)
+        gh = outs[0]
+        genc_act = genc_act + outs[1]
+        it = iter(outs[2:])
+        for i in range(l0, l1):
+            d_layers[i] = {"w": next(it), "b": next(it).reshape(-1)}
+
+    # 4) init layer + dx epilogue (plain XLA)
+    enc = fourier_encode(flat, params["B"])
+    d_init_w = enc.T @ gh
+    d_init_b = jnp.sum(gh, axis=0)
+    genc = gh @ params["init"]["w"].T + genc_act * dact(enc)
+    n_f = mlp.freqs
+    mapped = flat @ params["B"]
+    g_sin = genc[:, mlp.in_size:mlp.in_size + n_f]
+    g_cos = genc[:, mlp.in_size + n_f:]
+    dx = (genc[:, :mlp.in_size]
+          + (g_sin * jnp.cos(mapped) - g_cos * jnp.sin(mapped))
+          @ params["B"].T)
+
+    dparams = {
+        "B": jnp.zeros_like(params["B"]),
+        "init": {"w": d_init_w, "b": d_init_b},
+        "layers": tuple(d_layers[i] for i in range(L)),
+        "out": {"w": d_out_w, "b": d_out_b},
+    }
+    return dparams, dx[:n].reshape(batches + (mlp.in_size,))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
 def fused_mlp_apply(mlp: SkipConnMLP, params, x, interpret: bool = False,
                     block_rows: int = 512):
@@ -308,6 +536,11 @@ def _bwd(mlp, interpret, block_rows, res, g):
     use_pallas = (getattr(mlp, "pallas_bwd", False)
                   and mlp.activation_name is not None)
     if use_pallas:
+        segments = getattr(mlp, "pallas_bwd_segments", 0)
+        if segments >= 2:
+            return _pallas_backward_segmented(
+                mlp, params, x, g, n_segments=segments,
+                block_rows=min(block_rows, 256), interpret=interpret)
         return _pallas_backward(mlp, params, x, g,
                                 block_rows=min(block_rows, 256),
                                 interpret=interpret)
@@ -330,13 +563,18 @@ class FusedSkipConnMLP(SkipConnMLP):
     """
 
     def __init__(self, *args, mode: str = "auto", block_rows: int = 512,
-                 pallas_bwd: bool = False, **kwargs):
+                 pallas_bwd: bool = False, pallas_bwd_segments: int = 4,
+                 **kwargs):
         super().__init__(*args, **kwargs)
         assert mode in ("auto", "force", "off")
         self.mode = mode
         self.block_rows = block_rows
-        # opt-in: hand-written Pallas backward (first-order-only nets)
+        # opt-in: hand-written Pallas backward (first-order-only nets);
+        # segments >= 2 uses the checkpointed multi-kernel variant whose
+        # Mosaic programs stay ~L/segments layers deep (the monolithic
+        # kernel compiles >9 min on the 16x256 net), 0/1 = monolithic
         self.pallas_bwd = pallas_bwd
+        self.pallas_bwd_segments = pallas_bwd_segments
 
     def __call__(self, params, p, latent=None):
         use = (self.mode == "force"

@@ -111,12 +111,14 @@ class TestFusedSphereSDF:
 
 class TestPallasBackwardKernel:
     @pytest.mark.parametrize("act", ["leaky_relu", "softplus"])
-    def test_grad_parity(self, act):
+    @pytest.mark.parametrize("segments", [0, 2])
+    def test_grad_parity(self, act, segments):
         cfg = dict(in_size=3, out=2, num_layers=4, hidden_size=32, freqs=8,
                    activation=act)
         ref = SkipConnMLP(**cfg)
         fused = FusedSkipConnMLP(mode="force", block_rows=64,
-                                 pallas_bwd=True, **cfg)
+                                 pallas_bwd=True,
+                                 pallas_bwd_segments=segments, **cfg)
         p = ref.init(jax.random.PRNGKey(0))
         x = jax.random.normal(jax.random.PRNGKey(1), (100, 3))
 
