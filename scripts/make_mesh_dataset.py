@@ -165,7 +165,7 @@ def main():
     ap.add_argument("--kind", type=str, default="knot",
                     choices=sorted(MESHES))
     ap.add_argument("--format", type=str, default="nerf",
-                    choices=["nerf", "colocate"])
+                    choices=["nerf", "colocate", "nerv"])
     ap.add_argument("--train-views", type=int, default=100)
     ap.add_argument("--test-views", type=int, default=16)
     ap.add_argument("--n-elev", type=int, default=8)
@@ -220,11 +220,14 @@ def main():
     if scale <= 0:
         probes = []
         for elev, azim in [(15.0, 30.0), (35.0, -120.0)]:
-            if args.format == "nerf":
+            if args.format in ("nerf", "nerv"):
                 c2w = nerf_c2w(elev, azim, dist=1.2)
                 cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                                  focal=nerf_focal)
-                loc = nerf_light
+                # nerv lights sit on a 1.3-radius shell; probe there so the
+                # exposure matches the per-frame light distance
+                loc = (nerf_light * (1.3 / np.linalg.norm(nerf_light))
+                       if args.format == "nerv" else nerf_light)
             else:
                 r, t = look_at_view_transform(dist=1.0, elev=elev, azim=azim)
                 cam = FoVPerspectiveCamera(R=r, T=t)
@@ -265,6 +268,36 @@ def main():
                 {"camera_angle_x": ca, "frames": frames},
                 open(os.path.join(args.out,
                                   f"transforms_{split}.json"), "w"))
+    elif args.format == "nerv":
+        # per-frame INDEPENDENT point light on an upper-hemisphere shell —
+        # the make_nerv_dataset.py layout ({out}/{split}_point/, light_loc
+        # per frame) consumed by scripts/nerv.py via load_nerv
+        rng = np.random.default_rng(args.seed)
+        for split, n in [("train", args.train_views),
+                         ("test", args.test_views)]:
+            base = os.path.join(args.out, f"{split}_point")
+            os.makedirs(os.path.join(base, split), exist_ok=True)
+            frames = []
+            for i in range(n):
+                c2w = nerf_c2w(rng.uniform(-10, 55), rng.uniform(-180, 180),
+                               dist=1.2)
+                cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
+                                 focal=nerf_focal)
+                d = rng.normal(size=3)
+                d[2] = abs(d[2]) + 0.3
+                light = 1.3 * d / np.linalg.norm(d)
+                img = render(cam, light, scale)
+                Image.fromarray(
+                    (np.clip(img, 0, 1) * 255).astype(np.uint8),
+                    "RGBA").save(os.path.join(base, split, f"r_{i}.png"))
+                frames.append({"file_path": f"{split}/r_{i}",
+                               "transform_matrix": c2w.tolist(),
+                               "light_loc": light.tolist()})
+                if (i + 1) % 10 == 0:
+                    print(split, i + 1, "/", n)
+            json.dump({"camera_angle_x": nerf_ca, "frames": frames},
+                      open(os.path.join(base,
+                                        f"transforms_{split}.json"), "w"))
     else:
         elevs = np.linspace(0.0, 45.0, args.n_elev)
         azims = np.linspace(-135.0, 135.0, args.n_azim)
