@@ -61,6 +61,14 @@ def main():
                     help="zero-out weight-net head (collapse-resistant)")
     ap.add_argument("--weight-reg", type=float, default=0.0,
                     help="weight-diversity regularizer coefficient")
+    ap.add_argument("--sat-guard", type=float, default=0.0,
+                    help="saturation-guard coefficient: penalizes raw "
+                         "weight-net logits below -6 (softplus(-(raw+6))), "
+                         "acting BEFORE the sigmoid so the pull-back "
+                         "gradient does not vanish in saturation — the "
+                         "collapse mode at the reference bsdf lr 8e-4 "
+                         "(RESULTS.md) drives sigmoid weights to ~1e-34 "
+                         "where any post-sigmoid penalty is inert")
     ap.add_argument("--valid-freq", type=int, default=2500,
                     help="full-frame validation render + PSNR every N steps "
                          "(0 disables); curves land in the metrics file")
@@ -121,6 +129,9 @@ def main():
             var = jnp.var(it.normalized_weights, axis=-1)
             loss = loss + args.weight_reg * jnp.mean(
                 jnp.sqrt(jnp.maximum(var, 1e-12)))
+        if args.sat_guard and it.nonnormalized_weights is not None:
+            loss = loss + args.sat_guard * jnp.mean(
+                jax.nn.softplus(-(it.nonnormalized_weights + 6.0)))
         return loss
 
     # per-step scalars + periodic validation PSNR, persisted as JSONL so
