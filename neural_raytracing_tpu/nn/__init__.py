@@ -3,4 +3,4 @@ from .mlp import (
     DensityEstimator, ACTIVATIONS, ACTIVATION_GRADS, resolve_activation,
     activation_name, linear, prime_identity,
 )
-from .conv import Discriminator
+from .conv import Discriminator, Embedder

@@ -232,6 +232,22 @@ class TestDiscriminator:
                    for v in jax.tree_util.tree_leaves(g))
 
 
+class TestEmbedder:
+    def test_latent_shape_and_grads(self):
+        from neural_raytracing_tpu.nn import Embedder
+        e = Embedder(latent_size=16, num_features=8)
+        p = e.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 64, 64))
+        out = e(p, x)
+        assert out.shape == (2, 16)
+        # resolution-agnostic (global pool)
+        out32 = e(p, jax.random.normal(jax.random.PRNGKey(2), (1, 3, 32, 32)))
+        assert out32.shape == (1, 16)
+        g = jax.grad(lambda pp: jnp.sum(e(pp, x)))(p)
+        assert all(np.isfinite(np.asarray(v)).all()
+                   for v in jax.tree_util.tree_leaves(g))
+
+
 class TestNeRFLE:
     def test_volume_render_both_conditionings(self):
         from neural_raytracing_tpu.shapes import NeRFLE
