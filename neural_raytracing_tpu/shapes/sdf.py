@@ -359,6 +359,54 @@ class SDF:
         best_pos = lax.stop_gradient(best_pos)
         return self.sdf(params, best_pos), best_pos
 
+    def half_res_throughput(self, params, r_o, r_d, key=None):
+        """Throughput on a 2x-subsampled pixel grid, nearest-upsampled back
+        (sdfs.py:250-254).  ``r_o``/``r_d`` are ``[N, W, H, ..., 3]``
+        structured ray grids; every 2x2 pixel block shares one sample."""
+        sd, _ = self.throughput(params, r_o[:, ::2, ::2], r_d[:, ::2, ::2],
+                                key=key)
+        sd = jnp.repeat(jnp.repeat(sd, 2, axis=1), 2, axis=2)
+        return sd[:, :r_o.shape[1], :r_o.shape[2]]
+
+    def batch_throughput(self, params, r_o, r_d, key=None,
+                         batch_size: int = 56, per: int = 32,
+                         max_t: float = 2.0):
+        """Chunked min-scan throughput (sdfs.py:256-277): evaluate the SDF
+        at ``batch_size`` t-samples in chunks of ``per`` tracking the
+        argmin, then one differentiable eval at the best t.
+
+        The reference draws ``batch_size + randint(0, 8)`` samples — a
+        data-dependent shape; here the count is static and the jitter
+        moves to a random phase offset of the t grid (same variance
+        reduction, XLA-compilable).
+        """
+        jitter = 0.0
+        if key is not None:
+            jitter = jax.random.uniform(key, ()) * (max_t / batch_size)
+        ts = jnp.linspace(0.0, max_t, batch_size) + jitter
+        pad = (-batch_size) % per
+        ts = jnp.concatenate([ts, jnp.full((pad,), jnp.inf)]) if pad else ts
+
+        def chunk_body(carry, tb):
+            bests, b_ts = carry
+            # [per, ..., 3] points; min over the chunk axis
+            p = r_o[None] + tb[(...,) + (None,) * r_o.ndim] * r_d[None]
+            sd = jnp.where(jnp.isfinite(tb)[(...,) + (None,) * (r_o.ndim - 1)],
+                           self.sdf(params, p), jnp.inf)
+            mins = jnp.min(sd, axis=0)
+            idxs = jnp.argmin(sd, axis=0)
+            t_here = tb[idxs]
+            better = mins < bests
+            return (jnp.where(better, mins, bests),
+                    jnp.where(better, t_here, b_ts)), None
+
+        init = (jnp.full(r_o.shape[:-1], jnp.inf),
+                jnp.zeros(r_o.shape[:-1]))
+        (best, best_t), _ = lax.scan(
+            chunk_body, init, lax.stop_gradient(ts).reshape(-1, per))
+        best_t = lax.stop_gradient(best_t)
+        return self.sdf(params, r_o + best_t[..., None] * r_d)
+
     # ---- Shape interface ---------------------------------------------------
 
     def intersect(self, params, rays, key=None, max_t: float = 10.0,

@@ -92,6 +92,40 @@ class TestSDFMarcher:
         tp = np.asarray(it.throughput)
         assert tp[0] > 0 and tp[1] < 0
 
+    def test_half_res_throughput(self):
+        sdf = SDF(UNIT_SPHERE, max_steps=32, throughput_steps=32, dist=4.0)
+        rays = frontal_rays(64, z=2.0, spread=0.4).reshape(1, 8, 8, 6)
+        r_o, r_d = rays[..., :3], rays[..., 3:]
+        half = sdf.half_res_throughput({}, r_o, r_d)
+        assert half.shape == (1, 8, 8)
+        full, _ = sdf.throughput({}, r_o, r_d)
+        # 2x2 blocks share the subsampled value; the (0,0) corner matches
+        np.testing.assert_allclose(np.asarray(half[:, ::2, ::2]),
+                                   np.asarray(full[:, ::2, ::2]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(half[:, 1::2, 1::2]),
+                                   np.asarray(half[:, ::2, ::2]), atol=1e-6)
+
+    def test_batch_throughput(self):
+        sdf = SDF(UNIT_SPHERE, max_steps=32, throughput_steps=64, dist=4.0)
+        rays = jnp.asarray([
+            [0.0, 0, 2, 0, 0, -1.0],    # through center: min sdf = -1
+            [0.0, 3.0, 2, 0, 0, -1.0],  # miss by 2: min sdf = 2
+        ])
+        got = sdf.batch_throughput({}, rays[..., :3], rays[..., 3:])
+        np.testing.assert_allclose(np.asarray(got), [-1.0, 2.0], atol=0.1)
+        # chunking is an implementation detail: per=8 == per=32
+        got8 = sdf.batch_throughput({}, rays[..., :3], rays[..., 3:], per=8)
+        np.testing.assert_allclose(np.asarray(got8), np.asarray(got),
+                                   atol=1e-6)
+        # differentiable at the argmin point
+        module = SphereSDF(n=8)
+        lsdf = SDF(module, max_steps=8, throughput_steps=16)
+        params = lsdf.init(jax.random.PRNGKey(0))
+        g = jax.grad(lambda p: jnp.sum(lsdf.batch_throughput(
+            p, rays[..., :3], rays[..., 3:])))(params)
+        assert any(np.any(np.asarray(v) != 0)
+                   for v in jax.tree_util.tree_leaves(g))
+
     def test_shadow_march(self):
         sdf = SDF(UNIT_SPHERE, max_steps=64)
         rays = jnp.asarray([
