@@ -174,6 +174,17 @@ def main():
     ap.add_argument("--light-scale", type=float, default=0.0,
                     help="point-light scale; 0 = auto-expose so the GT "
                          "p99.5 radiance lands at ~0.85 (unclipped)")
+    ap.add_argument("--occlusion", type=str, default="hard",
+                    choices=["hard", "none"],
+                    help="GT shadowing; 'none' avoids hard-black shadow "
+                         "regions (a single-light hard-shadow GT leaves "
+                         "the MEDIAN object pixel at 0, which drives the "
+                         "radiance-down saturation cascade in training — "
+                         "see RESULTS.md)")
+    ap.add_argument("--n-lights", type=int, default=1,
+                    help="static point lights for the nerf format (a ring "
+                         "at elev 35; each frame sums one render per "
+                         "light) — fills shadowed regions like a light rig")
     ap.set_defaults(size=256)
     args = ap.parse_args()
     force_cpu_if_requested(args)
@@ -194,7 +205,8 @@ def main():
         os.path.dirname(os.path.abspath(__file__))), "tests"))
     from test_e2e_nerf import nerf_c2w
 
-    scene = build_gt_scene(args.kind, light_scale=1.0)
+    scene = build_gt_scene(args.kind, light_scale=1.0,
+                           occlusion=args.occlusion)
     params = scene.init(jax.random.PRNGKey(7))
     integrator = Mask(Direct(training=False))
     chunk = min(args.size, 128)
@@ -213,6 +225,25 @@ def main():
     nerf_ca = math.radians(60.0)
     nerf_focal = 0.5 * args.size / math.tan(0.5 * nerf_ca)
 
+    # static light rig for the nerf format: --n-lights points on a ring at
+    # elev 35 (radius = |nerf_light|), each frame summing one render per
+    # light; n=1 keeps the single reference-style light
+    if args.n_lights > 1:
+        r = float(np.linalg.norm(nerf_light))
+        az = np.linspace(0.0, 2.0 * np.pi, args.n_lights, endpoint=False)
+        el = math.radians(35.0)
+        rig = [r * np.asarray([math.cos(el) * math.cos(a),
+                               math.cos(el) * math.sin(a),
+                               math.sin(el)], np.float32) for a in az]
+    else:
+        rig = [nerf_light]
+
+    def render_rig(cam, locs, scale):
+        out = np.array(render(cam, locs[0], scale))
+        for loc in locs[1:]:
+            out[..., :3] += render(cam, loc, scale)[..., :3]
+        return out
+
     # auto exposure: probe 2 views with the format's ACTUAL light config,
     # set scale so p99.5 of lit pixels ~ 0.85 (clipped GT destabilizes
     # inverse rendering; dark GT flatters PSNR vs the black baseline)
@@ -226,8 +257,11 @@ def main():
                                  focal=nerf_focal)
                 # nerv lights sit on a 1.3-radius shell; probe there so the
                 # exposure matches the per-frame light distance
-                loc = (nerf_light * (1.3 / np.linalg.norm(nerf_light))
-                       if args.format == "nerv" else nerf_light)
+                if args.format == "nerv":
+                    loc = nerf_light * (1.3 / np.linalg.norm(nerf_light))
+                else:
+                    probes.append(render_rig(cam, rig, 1.0))
+                    continue
             else:
                 r, t = look_at_view_transform(dist=1.0, elev=elev, azim=azim)
                 cam = FoVPerspectiveCamera(R=r, T=t)
@@ -243,8 +277,7 @@ def main():
     json.dump(meta, open(os.path.join(args.out, "meta.json"), "w"))
 
     if args.format == "nerf":
-        # static illumination (one fixed point light; light-field-learnable)
-        light = nerf_light
+        # static illumination (fixed point-light rig; light-field-learnable)
         ca = nerf_ca
         rng = np.random.default_rng(args.seed)
         for split, n in [("train", args.train_views),
@@ -256,7 +289,7 @@ def main():
                                dist=1.2)
                 cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                                  focal=nerf_focal)
-                img = render(cam, light, scale)
+                img = render_rig(cam, rig, scale)
                 Image.fromarray(
                     (np.clip(img, 0, 1) * 255).astype(np.uint8),
                     "RGBA").save(os.path.join(args.out, split, f"r_{i}.png"))
