@@ -364,7 +364,14 @@ class ComposeSpatialVarying:
                              spec_pdf * k[..., None, :], 0.0)
         summed = jnp.sum(spec_pdf, axis=-1)
         aux = {"nonnormalized_weights": raw, "normalized_weights": k}
-        return summed[..., :3], summed[..., 3], aux
+        # The SPECTRUM keeps the reference's sigmoid weighting as-is
+        # (sum_i k_i f_i, bsdfs.py:515-536 — k does not sum to 1).  The PDF
+        # must be the true density of sample() below, whose basis selection
+        # is categorical ∝ k (i.e. k_i / sum k): q = sum_i k_i p_i / sum k.
+        # Without the normalization the one-sample-mixture estimator
+        # f/q in Direct's BSDF arm is biased by the factor sum_k.
+        ksum = jnp.maximum(jnp.sum(k, axis=-1), 1e-10)
+        return summed[..., :3], summed[..., 3] / ksum, aux
 
     def sample(self, params, it, key, active=True):
         keys = jax.random.split(key, len(self.bsdfs) + 1)
@@ -374,8 +381,12 @@ class ComposeSpatialVarying:
         onehot = jax.nn.one_hot(_gumbel_argmax(keys[-1], k_w),
                                 len(self.bsdfs), dtype=k_w.dtype)
         wo, pdf, spectrum = _combine_samples(samples, onehot)
-        # joint pdf of (select basis, sample direction)
-        pdf = pdf * jnp.sum(k_w * onehot, axis=-1)
+        # joint pdf of (select basis, sample direction); gumbel-argmax over
+        # k selects basis i with probability k_i / sum k, so that factor —
+        # NOT the raw sigmoid weight — multiplies the basis pdf
+        sel = (jnp.sum(k_w * onehot, axis=-1)
+               / jnp.maximum(jnp.sum(k_w, axis=-1), 1e-10))
+        pdf = pdf * sel
         return BSDFSample(wo=wo, pdf=pdf), spectrum
 
 

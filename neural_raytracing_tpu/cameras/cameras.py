@@ -86,6 +86,33 @@ def look_at_view_transform(dist=1.0, elev=0.0, azim=0.0, degrees=True,
     return r, t
 
 
+def nerf_c2w(elev_deg, azim_deg, dist=2.0):
+    """NeRF-convention 4x4 camera-to-world (camera -z looks at the origin).
+
+    Host-side helper for building synthetic ``transforms_*.json`` pose
+    grids (the layout test_nerf_resources expects, training_utils.py:572-594);
+    used by the dataset generators and the e2e tests.
+    """
+    import numpy as np
+
+    e, a = math.radians(elev_deg), math.radians(azim_deg)
+    pos = np.asarray([
+        dist * math.cos(e) * math.sin(a),
+        dist * math.sin(e),
+        dist * math.cos(e) * math.cos(a),
+    ])
+    forward = pos / np.linalg.norm(pos)              # camera -z
+    right = np.cross([0.0, 1.0, 0.0], forward)
+    right = right / max(np.linalg.norm(right), 1e-9)
+    up = np.cross(forward, right)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 0] = right
+    m[:3, 1] = up
+    m[:3, 2] = forward
+    m[:3, 3] = pos
+    return m
+
+
 def spherical_positions(min_elev=0.0, max_elev=45.0, min_azim=-135.0,
                         max_azim=135.0, n_elev: int = 8, n_azim: int = 8,
                         dist: float = 1.0):

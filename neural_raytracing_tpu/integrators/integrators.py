@@ -232,6 +232,11 @@ class Direct(Integrator):
         it, active = scene.shape.intersect(params["shape"], rays, key=ikey,
                                            primary=training)
         result = jnp.zeros(rays.shape[:-1] + (3,), jnp.float32)
+        # delta lights are unhittable by BSDF-sampled rays — the whole arm
+        # is statically zero, so skip it at trace time (each sample would
+        # otherwise pay a full shadow march for nothing)
+        bsdf_samples = (0 if getattr(scene.lights, "delta", False)
+                        else self.bsdf_samples)
         for i in range(self.emitter_samples):
             skey = None
             if ekey is not None:
@@ -250,12 +255,12 @@ class Direct(Integrator):
             # cannot produce (below-horizon, where the reference's eval pdf
             # goes negative) must keep emitter-arm weight 1 for the
             # two-arm estimator to stay unbiased.
-            if self.bsdf_samples > 0 and not ds.delta:
+            if bsdf_samples > 0 and not ds.delta:
                 val = val * mis_weight(ds.pdf,
                                        jnp.maximum(bsdf_pdf, 0.0))[..., None]
             result = result + jnp.where(active_emitted[..., None], val, 0.0)
 
-        for i in range(self.bsdf_samples):
+        for i in range(bsdf_samples):
             skey = jax.random.fold_in(
                 bkey if bkey is not None else jax.random.PRNGKey(0), i)
             # sample() provides the direction; the VALUE and pdf come from
@@ -275,7 +280,7 @@ class Direct(Integrator):
                     params["shape"], new_rays, max_t=light_t, active=ok)
                 ok = ok & not_blocked
             w = (mis_weight(bsdf_pdf, light_pdf)
-                 / jnp.maximum(bsdf_pdf, 1e-10) / self.bsdf_samples)
+                 / jnp.maximum(bsdf_pdf, 1e-10) / bsdf_samples)
             val = w[..., None] * bsdf_val * emit_val
             result = result + jnp.where(ok[..., None], val, 0.0)
         return result, active, it

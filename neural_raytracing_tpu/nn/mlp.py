@@ -102,6 +102,13 @@ def wn_linear(params, x):
     return x @ w + params["b"]
 
 
+def _hidden_linear(params, x):
+    """Apply a hidden layer by its PARAMS layout ({v,g,b} weight-normed or
+    {w,b} plain) rather than by the module config, so checkpoints saved
+    before the ``weight_norm=True`` default (plain layout) keep loading."""
+    return wn_linear(params, x) if "v" in params else linear(params, x)
+
+
 class SkipConnMLP:
     """Fourier-encoded MLP with periodic skip re-injection of the encoding.
 
@@ -268,7 +275,7 @@ class TwoStageMLP:
     def __call__(self, params: dict, i1: jax.Array, i2: jax.Array) -> jax.Array:
         batches = i1.shape[:-1]
         act = self.activation
-        hidden = wn_linear if self.weight_norm else linear
+        hidden = _hidden_linear
         enc1 = fourier_encode(i1.reshape(-1, self.in_1), params["B1"])
         h = linear(params["init"], enc1)
         for i in range(self.num_layers):

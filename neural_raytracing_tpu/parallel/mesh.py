@@ -125,14 +125,9 @@ def sharded_render_rays(scene, params, rays, integrator, mesh: Mesh,
     Pads the ray count to a mesh multiple, shards axis 0, replicates
     params; one jit call renders across all devices (serving path).
     """
-    import jax.numpy as jnp
-
     n = mesh.devices.size
     r = rays.shape[0]
-    pad = (-r) % n
-    if pad:
-        rays = jnp.concatenate([rays, jnp.broadcast_to(rays[-1:],
-                                                       (pad,) + rays.shape[1:])])
+    rays = pad_batch(rays, r, n)
     rays = jax.device_put(rays, data_sharding(mesh))
     params = replicate(params, mesh)
     values, active = _sharded_run(scene, integrator, params, rays, key,

@@ -38,7 +38,10 @@ def face_areas_normals(verts: jax.Array, faces: jax.Array,
     """
     tris = verts[faces]                                    # [F, 3, 3]
     cross = jnp.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
-    norm = jnp.linalg.norm(cross, axis=-1)
+    # double-where: jnp.linalg.norm has a NaN gradient at cross = 0
+    # (degenerate faces), and the eps clamp below does not block it
+    sq = jnp.sum(cross * cross, axis=-1)
+    norm = jnp.where(sq > 0.0, jnp.sqrt(jnp.where(sq > 0.0, sq, 1.0)), 0.0)
     areas = 0.5 * norm
     normals = cross / jnp.maximum(norm, eps)[..., None]
     return areas, normals

@@ -27,16 +27,24 @@ from .rasterize import rasterize_spheres
 
 
 def _axis_angle_rotation(rvec: jax.Array) -> jax.Array:
-    """Rodrigues axis-angle -> rotation matrix (3x3)."""
-    theta = jnp.linalg.norm(rvec)
-    safe = jnp.maximum(theta, 1e-12)
-    k = rvec / safe
-    kx = jnp.array([[0.0, -k[2], k[1]],
-                    [k[2], 0.0, -k[0]],
-                    [-k[1], k[0], 0.0]])
-    r = (jnp.eye(3) + jnp.sin(theta) * kx
-         + (1.0 - jnp.cos(theta)) * (kx @ kx))
-    return jnp.where(theta < 1e-12, jnp.eye(3), r)
+    """Rodrigues axis-angle -> rotation matrix (3x3).
+
+    Uses the unnormalized form R = I + a(θ)[r]ₓ + b(θ)[r]ₓ² with
+    a = sinθ/θ, b = (1-cosθ)/θ² and Taylor branches at small θ, so the
+    gradient w.r.t. rvec is finite AND correct at rvec = 0 (the identity
+    rotation — the natural camera init); dividing by ||rvec|| there would
+    make jax.grad NaN (0/0 survives the where-mask).
+    """
+    sq = jnp.sum(rvec * rvec)
+    theta = jnp.sqrt(jnp.where(sq > 1e-24, sq, 1.0))
+    small = sq < 1e-12
+    a = jnp.where(small, 1.0 - sq / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - sq / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, sq))
+    rx = jnp.array([[0.0, -rvec[2], rvec[1]],
+                    [rvec[2], 0.0, -rvec[0]],
+                    [-rvec[1], rvec[0], 0.0]])
+    return jnp.eye(3) + a * rx + b * (rx @ rx)
 
 
 class PulsarRenderer:

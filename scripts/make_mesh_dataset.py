@@ -189,27 +189,25 @@ def main():
     args = ap.parse_args()
     force_cpu_if_requested(args)
 
-    import sys
-
     import jax
     import jax.numpy as jnp
     from PIL import Image
 
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.cameras import (
-        FoVPerspectiveCamera, NeRFCamera, look_at_view_transform,
+        FoVPerspectiveCamera, NeRFCamera, look_at_view_transform, nerf_c2w,
     )
     from neural_raytracing_tpu.integrators import Direct, Mask
-
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))), "tests"))
-    from test_e2e_nerf import nerf_c2w
 
     scene = build_gt_scene(args.kind, light_scale=1.0,
                            occlusion=args.occlusion)
     params = scene.init(jax.random.PRNGKey(7))
     integrator = Mask(Direct(training=False))
+    # largest tile <= 128 that divides the image (pathtrace requires it;
+    # e.g. NeRV's size 200 -> 100)
     chunk = min(args.size, 128)
+    while args.size % chunk:
+        chunk -= 1
 
     def render(cam, light_loc, scale):
         p = dict(params)

@@ -27,8 +27,6 @@ def main():
     args = ap.parse_args()
     enable_compile_cache()
 
-    import sys
-
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -41,9 +39,7 @@ def main():
     from neural_raytracing_tpu.nn import SkipConnMLP
     from make_dataset import procedural_shape
 
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__))), "tests"))
-    from test_e2e_nerf import nerf_c2w
+    from neural_raytracing_tpu.cameras import nerf_c2w
 
     size = args.size
     scene = nrt.Scene(

@@ -16,7 +16,7 @@ import pytest
 
 import neural_raytracing_tpu as nrt
 from neural_raytracing_tpu.bsdf import Diffuse
-from neural_raytracing_tpu.cameras import NeRFCamera
+from neural_raytracing_tpu.cameras import NeRFCamera, nerf_c2w
 from neural_raytracing_tpu.integrators import Direct, Mask
 from neural_raytracing_tpu.lights import PointLights
 from neural_raytracing_tpu.nn import SkipConnMLP
@@ -27,26 +27,6 @@ from neural_raytracing_tpu.training import (
 from neural_raytracing_tpu.training.datasets import load_nerf_synthetic
 
 SIZE = 32
-
-
-def nerf_c2w(elev_deg, azim_deg, dist=2.0):
-    """NeRF-convention c2w: camera -z axis points at the origin."""
-    e, a = math.radians(elev_deg), math.radians(azim_deg)
-    pos = np.asarray([
-        dist * math.cos(e) * math.sin(a),
-        dist * math.sin(e),
-        dist * math.cos(e) * math.cos(a),
-    ])
-    forward = pos / np.linalg.norm(pos)              # camera -z
-    right = np.cross([0.0, 1.0, 0.0], forward)
-    right = right / max(np.linalg.norm(right), 1e-9)
-    up = np.cross(forward, right)
-    m = np.eye(4, dtype=np.float32)
-    m[:3, 0] = right
-    m[:3, 1] = up
-    m[:3, 2] = forward
-    m[:3, 3] = pos
-    return m
 
 
 @pytest.fixture(scope="module")

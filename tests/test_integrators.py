@@ -233,6 +233,37 @@ class TestDirectMIS:
         # MIS must cut the per-key std significantly
         assert (mis_std < 0.5 * em_std).all(), (mis_std, em_std)
 
+    def test_sigmoid_mixture_bsdf_arm_unbiased(self):
+        # regression: ComposeSpatialVarying's sigmoid weights do NOT sum to
+        # 1 (4 zero-init lobes -> k_i = 0.5, sum k = 2).  eval_and_pdf's pdf
+        # must be the NORMALIZED mixture density (the true density of
+        # sample()'s categorical-by-k selection) or the one-sample-mixture
+        # estimator in the BSDF arm is biased by the factor sum k (would
+        # read ~0.54x the analytic value here).
+        from neural_raytracing_tpu.bsdf import ComposeSpatialVarying
+
+        def clamped_div_pi(x):
+            return jnp.maximum(x, 0.0) / math.pi
+
+        refls = [(0.6, 0.4, 0.2), (0.2, 0.6, 0.4),
+                 (0.1, 0.1, 0.8), (0.5, 0.5, 0.1)]
+        mlp = SkipConnMLP(in_size=3, out=4, num_layers=2, hidden_size=16,
+                          freqs=4, init="zeros")
+        scene = nrt.Scene(
+            shape=Sphere((0.0, 0.0, 0.0), 1.0),
+            bsdf=ComposeSpatialVarying(
+                [Diffuse(r, preprocess=clamped_div_pi) for r in refls],
+                sp_var_fn=mlp),
+            lights=Constant(radius=5.0, intensity=0.5))
+        params = scene.init(jax.random.PRNGKey(0))
+        rays = self._rays()
+        # radiance = sum_i k_i rho_i * I with k_i = sigmoid(0) = 0.5
+        expected = 0.5 * np.sum(np.asarray(refls), axis=0) * 0.5
+        mis_mean, _ = self._mc(
+            Direct(emitter_samples=1, bsdf_samples=1, training=False),
+            scene, params, rays, n_keys=128)
+        np.testing.assert_allclose(mis_mean, expected, rtol=0.05)
+
     def test_delta_lights_unchanged_by_bsdf_arm(self):
         # delta lights are unhittable by BSDF rays: enabling the arm must
         # not change the image (emitter arm keeps weight 1)

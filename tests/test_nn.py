@@ -104,6 +104,20 @@ class TestTwoStageMLP:
         assert float(jnp.abs(g["layers1"][0]["g"]).sum()) > 0
         assert float(jnp.abs(g["layers1"][0]["v"]).sum()) > 0
 
+    def test_plain_checkpoint_loads_under_wn_default(self):
+        """Params saved with the old plain {w,b} hidden layout must still
+        apply through a weight_norm=True (default) module: the hidden-layer
+        apply dispatches on the PARAMS layout, not the config flag."""
+        kw = dict(in_1=3, in_2=2, out=3, num_layers=2, hidden_size=16,
+                  freqs=4)
+        plain = TwoStageMLP(weight_norm=False, **kw)
+        p_plain = plain.init(jax.random.PRNGKey(0))
+        a = jax.random.normal(jax.random.PRNGKey(1), (8, 3))
+        b = jax.random.normal(jax.random.PRNGKey(2), (8, 2))
+        np.testing.assert_allclose(
+            np.asarray(TwoStageMLP(**kw)(p_plain, a, b)),
+            np.asarray(plain(p_plain, a, b)))
+
 
 class TestAutoDecoders:
     def test_auto_decoder(self):

@@ -1,5 +1,6 @@
 """Tests for the raster subpackage (csrc-parity mesh ops + rasterizers)."""
 
+import math
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -378,3 +379,66 @@ def test_pulsar_grads_and_opacity():
     for g in grads:
         assert np.all(np.isfinite(np.asarray(g)))
     assert np.any(np.asarray(grads[1]) != 0)
+
+
+def test_face_areas_normals_degenerate_grads():
+    # regression: jnp.linalg.norm has a NaN gradient at cross = 0; a
+    # degenerate (zero-area) face must not poison the vertex gradients
+    verts = jnp.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                       [0.0, 1.0, 0.0], [1.0, 1.0, 0.0]])
+    faces = jnp.array([[0, 1, 2], [3, 3, 3]])
+    areas, normals = face_areas_normals(verts, faces)
+    np.testing.assert_allclose(np.asarray(areas), [0.5, 0.0], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(normals[1]), 0.0, atol=1e-6)
+
+    def f(v):
+        a, n = face_areas_normals(v, faces)
+        return jnp.sum(a) + jnp.sum(n)
+
+    g = np.asarray(jax.grad(f)(verts))
+    assert np.all(np.isfinite(g))
+    assert np.any(g != 0)
+
+
+def test_axis_angle_rotation_values_and_grads_at_zero():
+    from neural_raytracing_tpu.raster.pulsar import _axis_angle_rotation
+
+    # generic rvec: orthonormal, det 1, matches the normalized-axis form
+    rvec = jnp.array([0.3, -0.5, 0.2])
+    r = np.asarray(_axis_angle_rotation(rvec))
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+    np.testing.assert_allclose(np.linalg.det(r), 1.0, atol=1e-6)
+    theta = float(np.linalg.norm(np.asarray(rvec)))
+    k = np.asarray(rvec) / theta
+    kx = np.array([[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]],
+                   [-k[1], k[0], 0.0]])
+    expected = np.eye(3) + math.sin(theta) * kx \
+        + (1.0 - math.cos(theta)) * (kx @ kx)
+    np.testing.assert_allclose(r, expected, atol=1e-6)
+
+    # regression: at rvec = 0 (identity rotation, the natural camera init)
+    # the jacobian must be finite and equal the so(3) generators
+    jac = np.asarray(jax.jacobian(_axis_angle_rotation)(jnp.zeros(3)))
+    assert np.all(np.isfinite(jac))
+    for i in range(3):
+        e = np.zeros(3)
+        e[i] = 1.0
+        gen = np.array([[0.0, -e[2], e[1]], [e[2], 0.0, -e[0]],
+                        [-e[1], e[0], 0.0]])
+        np.testing.assert_allclose(jac[:, :, i], gen, atol=1e-6)
+
+
+def test_pulsar_camera_grads_at_identity_rotation():
+    # regression: camera grads were NaN at rotation (0,0,0) through the
+    # 0/0 of d||rvec||/drvec surviving the where-mask
+    renderer = PulsarRenderer(8, 8, spheres_per_pixel=2)
+    pos = jnp.array([[0.3, -0.2, 2.0]])
+    col = jnp.array([[1.0, 1.0, 1.0]])
+    rad = jnp.array([0.5])
+    cam = jnp.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 2.0])
+
+    def f(c):
+        return jnp.sum(renderer(pos, col, rad, c, gamma=0.1, max_depth=10.0))
+
+    g = np.asarray(jax.grad(f)(cam))
+    assert np.all(np.isfinite(g))
