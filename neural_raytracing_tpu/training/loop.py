@@ -50,7 +50,8 @@ def build_step_fn(scene: Scene, integrator, optimizer, *, size: int,
                   mask_weight: float = 15.0, tone_mapping: bool = False,
                   with_ssim: bool = True, with_noise=False,
                   extra_loss: Callable = default_extra_loss,
-                  n_real_views: Optional[int] = None):
+                  n_real_views: Optional[int] = None,
+                  skip_nan_updates: bool = False):
     """The un-jitted ``(state, camera, uv, exp, mask, key) -> (state, aux)``.
 
     ``exp``/``mask`` are the ``[N, S, S, 3]`` / ``[N, S, S]`` ground-truth
@@ -100,7 +101,20 @@ def build_step_fn(scene: Scene, integrator, optimizer, *, size: int,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, opt_state, state.step + 1)
+        if skip_nan_updates:
+            # reference ``train`` skips steps whose loss is NaN
+            # (training_utils.py:112); done branch-free inside the jitted
+            # step so the host pipeline never stalls: a bad step keeps the
+            # old params/opt state and does not advance the counter
+            good = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+            keep = lambda new, old: jnp.where(good, new, old)
+            params = jax.tree_util.tree_map(keep, params, state.params)
+            opt_state = jax.tree_util.tree_map(keep, opt_state,
+                                               state.opt_state)
+            new_step = state.step + good.astype(state.step.dtype)
+        else:
+            new_step = state.step + 1
+        new_state = TrainState(params, opt_state, new_step)
         return new_state, {"loss": loss, "got": got}
 
     return step
@@ -151,7 +165,8 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
           log_every: int = 100, log_fn: Callable = print,
           metrics: Optional[list] = None,
           mesh=None, seed: int = 0, step_fn=None,
-          uv_select: Optional[Callable] = None):
+          uv_select: Optional[Callable] = None,
+          nan_policy: str = "raise"):
     """Generic host training loop shared by all dataset harnesses.
 
     ``make_camera(idxs) -> camera pytree`` builds the view batch;
@@ -161,8 +176,15 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
     ``valid_fn(state, step)`` runs every ``valid_freq`` steps (periodic
     validation renders, training_utils.py:289-299); per-step scalars are
     appended to ``metrics`` when a list is passed.
+    ``nan_policy``: "raise" aborts on a non-finite loss (the reference's
+    train_nerf, training_utils.py:274-278); "skip" drops the update and
+    continues (the reference's train, training_utils.py:112), aborting only
+    after 200 CONSECUTIVE bad steps (params stay clean when skipping, so a
+    persistent NaN means the batch itself diverges).
     Returns (state, losses).
     """
+    assert nan_policy in ("raise", "skip"), nan_policy
+    skip_nan = nan_policy == "skip"
     if step_fn is None:
         if mesh is not None:
             from ..parallel import make_parallel_train_step, replicate
@@ -170,14 +192,15 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
                 scene, integrator, optimizer, mesh, n_views=n_views,
                 size=size, crop_size=crop_size, bundle_size=bundle_size,
                 mask_weight=mask_weight, tone_mapping=tone_mapping,
-                with_ssim=with_ssim, extra_loss=extra_loss)
+                with_ssim=with_ssim, extra_loss=extra_loss,
+                skip_nan_updates=skip_nan)
             state = replicate(state, mesh)
         else:
             step_fn = make_train_step(
                 scene, integrator, optimizer, size=size, crop_size=crop_size,
                 bundle_size=bundle_size, mask_weight=mask_weight,
                 tone_mapping=tone_mapping, with_ssim=with_ssim,
-                extra_loss=extra_loss)
+                extra_loss=extra_loss, skip_nan_updates=skip_nan)
 
     selector = LossSampler(len(exp_imgs))
     rng = np.random.default_rng(seed)
@@ -188,11 +211,23 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
     # on the device mid-pipeline (matters on high-latency interconnects)
     pending = None
 
+    consecutive_bad = [0]
+
     def resolve(pending, i):
         p_idxs, p_loss = pending
         loss = float(p_loss)
         if not np.isfinite(loss):
-            raise FloatingPointError(f"Unexpected NaN loss at step {i - 1}")
+            if not skip_nan:
+                raise FloatingPointError(
+                    f"Unexpected NaN loss at step {i - 1}")
+            consecutive_bad[0] += 1
+            log_fn(f"step {i - 1:6d} non-finite loss — update skipped "
+                   f"({consecutive_bad[0]} consecutive)")
+            if consecutive_bad[0] >= 200:
+                raise FloatingPointError(
+                    f"200 consecutive non-finite losses at step {i - 1}")
+            return
+        consecutive_bad[0] = 0
         losses.append(loss)
         selector.update_idxs(p_idxs, loss)
         if log_every and ((i - 1) % log_every) == 0:

@@ -70,4 +70,22 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--skip-test", action="store_true")
+    ap.add_argument("--nan-skip", action="store_true",
+                    help="skip (not raise on) non-finite-loss steps, like "
+                         "the reference's train (training_utils.py:112); "
+                         "aborts after 200 consecutive bad steps")
     return ap
+
+
+def nan_policy(args) -> str:
+    return "skip" if getattr(args, "nan_skip", False) else "raise"
+
+
+def chunk_for(size: int, cap: int = 128) -> int:
+    """Largest render tile <= cap that divides ``size`` (pathtrace asserts
+    divisibility; keep tiles >= ~100 px where possible — smaller dispatches
+    drown in tunnel latency, CLAUDE.md)."""
+    chunk = min(size, cap)
+    while size % chunk:
+        chunk -= 1
+    return chunk

@@ -12,7 +12,7 @@ center every step (colocate.py:109); learned-occlusion emitter sampling
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested, save_image
+from _common import base_parser, chunk_for, force_cpu_if_requested, nan_policy, save_image
 
 
 def build_scene(max_steps=64, stable_init=False, light_scale=5.0):
@@ -50,7 +50,10 @@ def main():
     ap = base_parser(__doc__)
     ap.add_argument("--data", type=str, required=True)
     ap.add_argument("--kind", type=str, default="bunny",
-                    choices=["bunny", "buddha", "teapot", "armadillo"])
+                    help="dataset object name ({kind}_{i}_{j}.png files): "
+                         "the reference's bunny/buddha/teapot/armadillo, or "
+                         "any make_dataset/make_mesh_dataset kind (ico, "
+                         "knot, gear, ...)")
     ap.add_argument("--n-elev", type=int, default=8)
     ap.add_argument("--n-azim", type=int, default=8)
     ap.add_argument("--stable-init", action="store_true",
@@ -123,7 +126,7 @@ def main():
         state, _ = train(
             scene, Direct(training=True), opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
-            size=args.size, crop_size=args.crop_size, iters=args.iters,
+            size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
             n_views=args.n_views, light_update=light_update,
             extra_loss=extra_loss,
             log_every=args.log_every,
@@ -144,7 +147,7 @@ def main():
         evaluate(
             test_scene, state.params, lambda i: make_camera([i]),
             data.images[:8], Direct(training=False), size=args.size,
-            chunk_size=min(args.size, 100),
+            chunk_size=chunk_for(args.size),
             light_update=eval_light_update,
             save_fn=lambda i, im: save_image(
                 f"{args.outputs}/colocate_{args.kind}_test_{i:02}.png", im))
@@ -179,7 +182,7 @@ def main():
             p["lights"] = dict(p["lights"], location=jnp.asarray(loc))
             img, _ = nrt.pathtrace(test_scene, p, cam,
                                    Direct(training=False), size=args.size,
-                                   chunk_size=min(args.size, 100),
+                                   chunk_size=chunk_for(args.size),
                                    background=0.0,
                                    key=jax.random.PRNGKey(i * 64 + j))
             got = np.clip(np.asarray(img)[..., :3], 0, 1)

@@ -10,7 +10,7 @@ BSDF + learned LightField; every-10th-view test split; crop 96.
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested, save_image
+from _common import base_parser, chunk_for, force_cpu_if_requested, nan_policy, save_image
 
 
 def build_scene(max_steps=64, n_bases=6):
@@ -75,7 +75,7 @@ def main():
             lambda idxs: make_camera(train_idx[np.asarray(idxs)]),
             data.images[train_idx], data.masks[train_idx],
             jax.random.PRNGKey(args.seed + 1), size=args.size,
-            crop_size=args.crop_size, iters=args.iters,
+            crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
             uv_select=rand_uv_mask,
             n_views=args.n_views, log_every=args.log_every,
             save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
@@ -88,7 +88,7 @@ def main():
             test_scene, state.params,
             lambda i: make_camera([test_idx[i]]),
             data.images[test_idx], Direct(training=False),
-            size=args.size, chunk_size=min(args.size, 100),
+            size=args.size, chunk_size=chunk_for(args.size),
             masks=data.masks[test_idx],
             save_fn=lambda i, im: save_image(
                 f"{args.outputs}/dtu_{name}_test_{i:02}.png", im))

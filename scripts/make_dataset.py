@@ -15,7 +15,7 @@ exercises the identical data layout and training pipeline.
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested
+from _common import base_parser, chunk_for, force_cpu_if_requested
 
 
 def procedural_shape(kind: str):
@@ -121,7 +121,7 @@ def main():
         p = dict(params)
         p["lights"] = dict(p["lights"], location=jnp.asarray(light_loc))
         img, _ = nrt.pathtrace(scene, p, cam, integrator, size=args.size,
-                               chunk_size=min(args.size, 100),
+                               chunk_size=chunk_for(args.size),
                                background=0.0, key=jax.random.PRNGKey(0))
         rgba = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
         Image.fromarray(rgba, "RGBA").save(os.path.join(args.out, name))

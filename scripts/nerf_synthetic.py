@@ -11,7 +11,7 @@ N=6 views/step; march 64 steps train / 256 test; then test-split eval.
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested, save_image
+from _common import base_parser, chunk_for, force_cpu_if_requested, nan_policy, save_image
 
 
 def build_scene(max_steps=64, surface="spheres", stable_init=False):
@@ -147,7 +147,7 @@ def main():
     def valid_fn(st, i):
         img, _ = nrt.pathtrace(
             scene, st.params, make_camera([0]), Direct(training=False),
-            size=args.size, chunk_size=min(args.size, 128), background=0.0,
+            size=args.size, chunk_size=chunk_for(args.size), background=0.0,
             key=jax.random.PRNGKey(0))
         got = np.clip(np.asarray(img)[..., :3], 0.0, 1.0)
         mse = float(np.mean((got - np.asarray(
@@ -168,7 +168,7 @@ def main():
             state, _ = train(
                 scene, Direct(training=True), opt, state, make_camera,
                 data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
-                size=args.size, crop_size=args.crop_size, iters=args.iters,
+                size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
                 n_views=args.n_views, log_every=args.log_every, mesh=mesh,
                 extra_loss=extra_loss, metrics=metrics,
                 valid_fn=valid_fn if args.valid_freq else None,
@@ -195,7 +195,7 @@ def main():
             lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],
                                  focal=test.focal),
             test.images, Direct(training=False),
-            size=args.size, chunk_size=min(args.size, 128),
+            size=args.size, chunk_size=chunk_for(args.size),
             save_fn=lambda i, im: save_image(
                 f"{args.outputs}/test_{name}_{i:03}.png", im))
         metrics.append({"step": int(args.iters), "test": results})

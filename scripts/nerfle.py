@@ -11,7 +11,7 @@ small crops (nerfle.py:62-158 uses crop 16, 300k iters); relight test.
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested, save_image
+from _common import base_parser, chunk_for, force_cpu_if_requested, save_image
 
 
 def main():
@@ -107,7 +107,7 @@ def main():
             lambda i: FoVPerspectiveCamera(R=cams.R[i:i + 1],
                                            T=cams.T[i:i + 1]),
             data.images[:8], integrator, size=args.size,
-            chunk_size=min(args.size, 100), light_update=light_update,
+            chunk_size=chunk_for(args.size), light_update=light_update,
             save_fn=lambda i, im: save_image(
                 f"{args.outputs}/nerfle_{args.kind}_{i:02}.png", im))
 

@@ -12,7 +12,7 @@ light; learned-occlusion emitter sampling; tone-mapped loss
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested, save_image
+from _common import base_parser, chunk_for, force_cpu_if_requested, nan_policy, save_image
 
 
 def build_scene(max_steps=64, dist=2.2, occlusion="learned"):
@@ -79,7 +79,7 @@ def main():
         state, _ = train(
             scene, Direct(training=True), opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
-            size=args.size, crop_size=args.crop_size, iters=args.iters,
+            size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
             n_views=args.n_views, tone_mapping=True,
             light_update=light_update, log_every=args.log_every,
             save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
@@ -106,7 +106,7 @@ def main():
                     cam_to_world=test.cam_to_worlds[i:i + 1],
                     focal=test.focal),
                 test.images, Direct(training=False), size=args.size,
-                chunk_size=min(args.size, 100), tone_map=True,
+                chunk_size=chunk_for(args.size), tone_map=True,
                 with_ms_ssim=args.size > 160,
                 light_update=eval_light_update,
                 save_fn=lambda i, im: save_image(

@@ -10,7 +10,7 @@ view (path_nerv.py:92-104 uses 32).
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested, save_image
+from _common import base_parser, chunk_for, force_cpu_if_requested, save_image
 from nerv import build_scene
 
 
@@ -53,7 +53,7 @@ def main():
         for s in range(args.samples):
             img, _ = nrt.pathtrace(
                 scene, params_i, cam, integrator, size=args.size,
-                chunk_size=min(args.size, 100), bundle_size=1,
+                chunk_size=chunk_for(args.size), bundle_size=1,
                 background=0.0, key=jax.random.PRNGKey(1000 * i + s))
             acc = img if acc is None else acc + img
         got = np.clip(np.asarray(acc) / args.samples, 0, 1)[..., :3]

@@ -10,7 +10,7 @@ over all local devices.
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested, save_image
+from _common import base_parser, chunk_for, force_cpu_if_requested, save_image
 
 
 def main():
@@ -80,7 +80,7 @@ def main():
             p = dict(params)
             p["lights"] = dict(p["lights"], location=jnp.asarray(loc))
         img, _ = nrt.pathtrace(scene, p, cam, integrator, size=args.size,
-                               chunk_size=min(args.size, 128),
+                               chunk_size=chunk_for(args.size),
                                background=0.0, key=jax.random.PRNGKey(f))
         save_image(f"{args.outputs}/orbit_{args.workload}_{f:03}.png", img)
         print(f"frame {f + 1}/{args.frames}")

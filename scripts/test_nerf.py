@@ -10,7 +10,7 @@ test-split eval.
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested, save_image
+from _common import base_parser, chunk_for, force_cpu_if_requested, save_image
 from nerf_synthetic import build_scene
 
 
@@ -68,7 +68,7 @@ def main():
         lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],
                              focal=test.focal),
         test.images, Direct(training=False), size=args.size,
-        chunk_size=min(args.size, 128),
+        chunk_size=chunk_for(args.size),
         save_fn=lambda i, im: save_image(
             f"{args.outputs}/edit_{args.edit}_{name}_{i:03}.png", im))
 

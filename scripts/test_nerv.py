@@ -9,7 +9,7 @@ render runs one pass per light and sums them weighted (:133-149).
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested, save_image
+from _common import base_parser, chunk_for, force_cpu_if_requested, save_image
 from nerv import build_scene
 
 
@@ -61,7 +61,7 @@ def main():
                                       location=jnp.asarray(l[None]))
             img, _ = nrt.pathtrace(scene, params_l, cam, integrator,
                                    size=args.size,
-                                   chunk_size=min(args.size, 100),
+                                   chunk_size=chunk_for(args.size),
                                    background=0.0,
                                    key=jax.random.PRNGKey(i))
             contrib = float(w) * np.asarray(img)[..., :3]

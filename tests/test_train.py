@@ -164,3 +164,51 @@ class TestOptimizer:
         up = jax.tree_util.tree_map(lambda x: float(jnp.abs(x).max()), updates)
         assert up["shape"]["w"] > up["bsdf"]["w"]
         assert up["lights"]["w"] == 0.0
+
+
+class TestNanSkip:
+    def test_skip_nan_updates_keeps_state(self, gt_data):
+        """skip_nan_updates (reference train parity, training_utils.py:112):
+        a NaN batch leaves params, opt state and the step counter untouched;
+        a clean batch still updates."""
+        import optax
+
+        from neural_raytracing_tpu.training import init_train_state
+        from neural_raytracing_tpu.training.loop import build_step_fn
+
+        imgs, masks, cams = gt_data
+        scene = nrt.Scene(shape=small_sdf(),
+                          bsdf=Diffuse(),
+                          lights=PointLights(location=(0.0, 1.0, 4.0),
+                                             scale=50.0))
+        opt = optax.adamw(1e-3)
+        state = init_train_state(scene, opt, jax.random.PRNGKey(0))
+        step = jax.jit(build_step_fn(
+            scene, Direct(training=True), opt, size=SIZE, crop_size=8,
+            skip_nan_updates=True))
+        # a poisoned loss term makes the loss AND every grad NaN
+        step_bad = jax.jit(build_step_fn(
+            scene, Direct(training=True), opt, size=SIZE, crop_size=8,
+            skip_nan_updates=True,
+            extra_loss=lambda it, got, exp, mask: jnp.nan * jnp.sum(got)))
+        cam = FoVPerspectiveCamera(R=cams.R[:1], T=cams.T[:1])
+        uv = (jnp.float32(4), jnp.float32(4))
+        exp = jnp.asarray(imgs[:1, 4:12, 4:12])
+        mask = jnp.asarray(masks[:1, 4:12, 4:12])
+        key = jax.random.PRNGKey(2)
+
+        bad, aux_bad = step_bad(state, cam, uv, exp, mask, key)
+        assert not np.isfinite(float(aux_bad["loss"]))
+        assert int(bad.step) == int(state.step)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            bad.params, state.params)
+
+        good, aux_good = step(state, cam, uv, exp, mask, key)
+        assert np.isfinite(float(aux_good["loss"]))
+        assert int(good.step) == int(state.step) + 1
+        deltas = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).sum()), good.params,
+            state.params)
+        assert sum(jax.tree_util.tree_leaves(deltas)) > 0
