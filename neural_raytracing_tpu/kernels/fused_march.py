@@ -198,7 +198,8 @@ def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
 
 def _build_shadow_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
                          epsilon: float, n_weights: int,
-                         compute_dtype=jnp.float32):
+                         compute_dtype=jnp.float32,
+                         past_light_exit: bool = False):
     # exact replica of SDF.intersect_test's loop: depths start at 1e2*eps,
     # strict < hit test, the hit step's distance IS applied, rays marching
     # past max_t keep marching (the reference lets a negative-sdf overshoot
@@ -206,11 +207,24 @@ def _build_shadow_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
     # padded / inactive lanes (zero direction) are excluded from the gate
     # so they cannot hold a block hostage — their `remaining` stays True
     # either way, which is exactly the generic loop's outcome for them.
+    #
+    # ``past_light_exit`` (opt-in, off = exact reference parity): freeze a
+    # lane once its depth reaches the per-ray max_t (it reached the light —
+    # physically unblocked) and let the block exit when every lane is
+    # resolved.  On a true SDF this is result-identical (the march cannot
+    # overshoot INTO a surface); it differs from the reference only in the
+    # degenerate-field corner where a negative-sdf pullback from beyond the
+    # light would re-block the ray.  Most shadow rays in a lit scene never
+    # hit, so this turns their 64 fixed steps into ~a handful.
     from jax.experimental import pallas as pl
 
     def kernel(*refs):
-        ro_ref, rd_ref = refs[0], refs[1]
-        w_refs = refs[2:2 + n_weights]
+        if past_light_exit:
+            ro_ref, rd_ref, mt_ref = refs[0], refs[1], refs[2]
+            w_refs = refs[3:3 + n_weights]
+        else:
+            ro_ref, rd_ref = refs[0], refs[1]
+            w_refs = refs[2:2 + n_weights]
         depth_ref, rem_ref = refs[-2], refs[-1]
         sdf_eval = _make_sdf_eval(mlp, k_smooth, w_refs, compute_dtype)
 
@@ -224,12 +238,16 @@ def _build_shadow_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
         def body(_, carry):
             depths = depth_ref[:]
             remaining = rem_ref[:] > 0.5
+            if past_light_exit:
+                live = remaining & (depths < mt_ref[:])
+            else:
+                live = remaining
 
-            @pl.when(jnp.max((remaining & valid).astype(jnp.float32)) > 0.0)
+            @pl.when(jnp.max((live & valid).astype(jnp.float32)) > 0.0)
             def _():
                 sd = sdf_eval(ro + rd * depths)
-                hits = remaining & (sd < epsilon)
-                depth_ref[:] = jnp.where(remaining, depths + sd, depths)
+                hits = live & (sd < epsilon)
+                depth_ref[:] = jnp.where(live, depths + sd, depths)
                 rem_ref[:] = (remaining & jnp.logical_not(hits)).astype(
                     jnp.float32)
 
@@ -354,7 +372,8 @@ def fused_march(module, params, r_o, r_d, max_t, *, max_steps: int,
 
 def fused_shadow_march(module, params, r_o, r_d, max_t, *, max_steps: int,
                        epsilon: float, block_rows: int = 512,
-                       compute_dtype=jnp.float32, interpret: bool = False):
+                       compute_dtype=jnp.float32, interpret: bool = False,
+                       past_light_exit: bool = False):
     """Whole shadow-march kernel. Returns not_blocked [...] — no grads."""
     from jax.experimental import pallas as pl
 
@@ -367,16 +386,24 @@ def fused_shadow_march(module, params, r_o, r_d, max_t, *, max_steps: int,
                + _mlp_weight_arrays(params["shift"], compute_dtype))
 
     row, in_specs = _specs(block_rows, weights, n_scalars=0)
+    inputs = [flat_o, flat_d]
+    if past_light_exit:
+        # per-ray light distance; padded lanes get 0 -> frozen immediately
+        flat_t = jnp.pad(max_t.reshape(-1, 1).astype(jnp.float32),
+                         ((0, n_pad - n), (0, 0)))
+        in_specs = in_specs[:2] + [row(1)] + in_specs[2:]
+        inputs.append(flat_t)
     depths, rem = pl.pallas_call(
         _build_shadow_kernel(module.shift, module.k, max_steps, epsilon,
-                             len(weights), compute_dtype),
+                             len(weights), compute_dtype,
+                             past_light_exit=past_light_exit),
         grid=(n_pad // block_rows,),
         in_specs=in_specs,
         out_specs=[row(1), row(1)],
         out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)],
         interpret=interpret,
-    )(flat_o, flat_d, *weights)
+    )(*inputs, *weights)
     depths = depths[:n, 0].reshape(batches)
     remaining = rem[:n, 0].reshape(batches) > 0.5
     return lax.stop_gradient((depths >= max_t) | remaining)

@@ -200,7 +200,7 @@ class SDF:
                  throughput_steps: int = 128, alpha: float = 1000.0,
                  warp: Optional[Callable] = None,
                  fused_loops: str = "auto", march_dtype=None,
-                 omega: float = 1.0):
+                 omega: float = 1.0, shadow_past_light_exit: bool = False):
         self.module = sdf_module
         self.epsilon = epsilon
         self.max_steps = max_steps
@@ -226,6 +226,13 @@ class SDF:
         # converges in fewer iterations on trained surfaces)
         assert 1.0 <= omega < 2.0
         self.omega = omega
+        # opt-in: freeze shadow rays once they march past the light
+        # (physically unblocked).  False = exact reference parity
+        # (sdfs.py:162-181 keeps marching and lets a negative-sdf overshoot
+        # pull a ray back past max_t); True is result-identical on true
+        # SDFs and lets the fused shadow kernel's block early-exit fire for
+        # the unblocked majority instead of running all max_steps.
+        self.shadow_past_light_exit = shadow_past_light_exit
 
     def _fused_loop_state(self):
         """-> (use_fused_kernels, interpret) for this SDF's module."""
@@ -438,17 +445,22 @@ class SDF:
             return fm.fused_shadow_march(
                 self.module, params, r_o, r_d, max_t,
                 max_steps=self.max_steps, epsilon=self.epsilon,
-                compute_dtype=self.march_dtype, interpret=interpret)
+                compute_dtype=self.march_dtype, interpret=interpret,
+                past_light_exit=self.shadow_past_light_exit)
         max_t = jnp.asarray(max_t)
         batch = r_o.shape[:-1]
+        max_t_b = jnp.broadcast_to(max_t, batch)
         depths = jnp.full(batch, 1e2 * self.epsilon, jnp.float32)
         remaining = jnp.ones(batch, bool)
 
         def body(_, carry):
             depths, remaining = carry
+            live = remaining
+            if self.shadow_past_light_exit:
+                live = live & (depths < max_t_b)
             dists = self.sdf(params, r_o + r_d * depths[..., None])
-            hits = remaining & (dists < self.epsilon)
-            depths = jnp.where(remaining, depths + dists, depths)
+            hits = live & (dists < self.epsilon)
+            depths = jnp.where(live, depths + dists, depths)
             remaining = remaining & ~hits
             return depths, remaining
 

@@ -31,8 +31,15 @@ r, t = look_at_view_transform(dist=2.0, elev=10.0, azim=20.0)
 cam = FoVPerspectiveCamera(R=r, T=t)
 integ = Direct(training=False)
 
-for mode, chunk in [("scan128", 128), ("scan256", 256), ("loop128", 128)]:
+scene_exit = scene.replace(shape=SDF(
+    SphereSDF(n=128), max_steps=64, throughput_steps=128,
+    shadow_past_light_exit=True))
+
+for mode, chunk in [("scan128", 128), ("scan256", 256), ("loop128", 128),
+                    ("scan128+shadow_exit", 128)]:
     scan = mode.startswith("scan")
+    if mode.endswith("shadow_exit"):
+        scene = scene_exit
     # warmup/compile
     img, _ = nrt.pathtrace(scene, params, cam, integ, size=256,
                            chunk_size=chunk, bundle_size=1, background=0.0,

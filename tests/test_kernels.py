@@ -289,6 +289,31 @@ class TestFusedMarch:
                                          block_rows=64, interpret=True)
             np.testing.assert_array_equal(np.asarray(nb_ref), np.asarray(nb_f))
 
+    def test_shadow_past_light_exit_matches(self):
+        """Opt-in past-light freeze: fused (interpret) == generic with the
+        same flag, and both == reference-parity baseline on this
+        well-behaved (near-true-SDF) module where pullback-past-the-light
+        never happens."""
+        from neural_raytracing_tpu.shapes import SDF
+
+        ref, _, params = self._sdfs(max_steps=8)
+        r_o, r_d = self._rays(96)
+        rays = jnp.concatenate([r_o, r_d], axis=-1)
+        exit_sdf = SDF(ref.module, max_steps=8, fused_loops="off",
+                       shadow_past_light_exit=True)
+        from neural_raytracing_tpu.kernels import fused_march as fm
+        for max_t in (10.0, jnp.full((96,), 1.5)):
+            nb_base = ref.intersect_test(params, rays, max_t=max_t)
+            nb_gen = exit_sdf.intersect_test(params, rays, max_t=max_t)
+            nb_f = fm.fused_shadow_march(ref.module, params, r_o, r_d, max_t,
+                                         max_steps=8, epsilon=1e-3,
+                                         block_rows=64, interpret=True,
+                                         past_light_exit=True)
+            np.testing.assert_array_equal(np.asarray(nb_gen),
+                                          np.asarray(nb_f))
+            np.testing.assert_array_equal(np.asarray(nb_base),
+                                          np.asarray(nb_gen))
+
     def test_shadow_march_inactive_rays(self):
         # zero-direction (masked) rays must come back not-blocked, matching
         # the generic loop, and must not stall the block's early exit
