@@ -16,6 +16,7 @@ implementation of the identical math: same MLP sizes, march steps, ray
 count, loss structure.
 """
 
+import os
 import argparse
 import json
 import sys
@@ -49,9 +50,12 @@ def bench_jax(steps: int, warmup: int = 2) -> float:
         init_train_state, make_optimizer, make_train_step,
     )
 
+    # experiment knob (RESULTS.md variants); the parity default is "full"
+    tp_mode = os.environ.get("NRT_BENCH_THROUGHPUT_MODE", "full")
     scene = nrt.Scene(
         shape=SDF(SphereSDF(n=128), max_steps=MARCH_STEPS,
-                  throughput_steps=THROUGHPUT_STEPS),
+                  throughput_steps=THROUGHPUT_STEPS,
+                  throughput_mode=tp_mode),
         bsdf=ComposeSpatialVarying(
             [NeuralBSDF(activation="softplus") for _ in range(8)]),
         lights=LightField())

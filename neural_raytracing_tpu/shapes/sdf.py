@@ -200,7 +200,8 @@ class SDF:
                  throughput_steps: int = 128, alpha: float = 1000.0,
                  warp: Optional[Callable] = None,
                  fused_loops: str = "auto", march_dtype=None,
-                 omega: float = 1.0, shadow_past_light_exit: bool = False):
+                 omega: float = 1.0, shadow_past_light_exit: bool = False,
+                 throughput_mode: str = "full"):
         self.module = sdf_module
         self.epsilon = epsilon
         self.max_steps = max_steps
@@ -233,6 +234,13 @@ class SDF:
         # SDFs and lets the fused shadow kernel's block early-exit fire for
         # the unblocked majority instead of running all max_steps.
         self.shadow_past_light_exit = shadow_past_light_exit
+        # "full" = reference training config (one min-scan sample per ray);
+        # "half_res" = the reference's half_res_throughput evaluator
+        # (sdfs.py:250-254; defined upstream but never wired into training)
+        # on the 2x-subsampled crop grid — 4x fewer silhouette evals, the
+        # single largest block of the train step. Opt-in variant.
+        assert throughput_mode in ("full", "half_res")
+        self.throughput_mode = throughput_mode
 
     def _fused_loop_state(self):
         """-> (use_fused_kernels, interpret) for this SDF's module."""
@@ -424,7 +432,12 @@ class SDF:
 
         throughput = None
         if primary:
-            min_sdf, _ = self.throughput(params, r_o, r_d, key=key)
+            # half_res needs the [N, W, H, ...] crop-grid structure; flat
+            # ray batches fall back to the full evaluator
+            if self.throughput_mode == "half_res" and r_o.ndim >= 4:
+                min_sdf = self.half_res_throughput(params, r_o, r_d, key=key)
+            else:
+                min_sdf, _ = self.throughput(params, r_o, r_d, key=key)
             throughput = -self.alpha * min_sdf
 
         raw_normals = self.normals(params, p)

@@ -105,6 +105,29 @@ class TestSDFMarcher:
         np.testing.assert_allclose(np.asarray(half[:, 1::2, 1::2]),
                                    np.asarray(half[:, ::2, ::2]), atol=1e-6)
 
+    def test_throughput_mode_half_res_in_intersect(self):
+        # opt-in throughput_mode="half_res": intersect's silhouette logits
+        # come from the 2x-subsampled evaluator on grid-shaped rays and
+        # fall back to full on flat batches
+        full_sdf = SDF(UNIT_SPHERE, max_steps=32, throughput_steps=32,
+                       dist=4.0)
+        half_sdf = SDF(UNIT_SPHERE, max_steps=32, throughput_steps=32,
+                       dist=4.0, throughput_mode="half_res")
+        rays = frontal_rays(64, z=2.0, spread=0.4).reshape(1, 8, 8, 6)
+        it_f, _ = full_sdf.intersect({}, rays, primary=True)
+        it_h, _ = half_sdf.intersect({}, rays, primary=True)
+        tp_f, tp_h = np.asarray(it_f.throughput), np.asarray(it_h.throughput)
+        assert tp_h.shape == tp_f.shape
+        np.testing.assert_allclose(tp_h[:, ::2, ::2], tp_f[:, ::2, ::2],
+                                   atol=1e-4)
+        np.testing.assert_allclose(tp_h[:, 1::2, 1::2], tp_h[:, ::2, ::2],
+                                   atol=1e-6)
+        # flat batch: falls back to the full evaluator
+        it_flat, _ = half_sdf.intersect({}, rays.reshape(-1, 6),
+                                        primary=True)
+        np.testing.assert_allclose(np.asarray(it_flat.throughput),
+                                   tp_f.reshape(-1), atol=1e-4)
+
     def test_batch_throughput(self):
         sdf = SDF(UNIT_SPHERE, max_steps=32, throughput_steps=64, dist=4.0)
         rays = jnp.asarray([
