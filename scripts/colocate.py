@@ -78,8 +78,8 @@ def main():
     )
     from neural_raytracing_tpu.integrators import Direct
     from neural_raytracing_tpu.training import (
-        evaluate, init_train_state, load_scene, make_optimizer, save_scene,
-        train,
+        evaluate, init_train_state, load_scene, make_optimizer,
+        rand_uv_mask, save_scene, train,
     )
     from neural_raytracing_tpu.training.datasets import load_colocate
 
@@ -127,6 +127,9 @@ def main():
             scene, Direct(training=True), opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
             size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
+            # mask-centered crops: the reference train_sample default
+            # (training_utils.py:138 rand_uv_mask)
+            uv_select=rand_uv_mask,
             n_views=args.n_views, light_update=light_update,
             extra_loss=extra_loss,
             log_every=args.log_every,

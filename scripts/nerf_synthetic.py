@@ -69,6 +69,15 @@ def main():
                          "collapse mode at the reference bsdf lr 8e-4 "
                          "(RESULTS.md) drives sigmoid weights to ~1e-34 "
                          "where any post-sigmoid penalty is inert")
+    ap.add_argument("--mask-crops", action="store_true",
+                    help="center training crops on random object-mask "
+                         "pixels (rand_uv_mask — the reference HARNESS "
+                         "default, training_utils.py:233; its "
+                         "nerf_synthetic script overrides to uniform "
+                         "rand_uv at :115, which suits high-coverage "
+                         "scenes like lego but starves training on "
+                         "low-coverage GT: uniform 80^2 crops of a ~11%-"
+                         "coverage 256^2 object collapse to black)")
     ap.add_argument("--valid-freq", type=int, default=2500,
                     help="full-frame validation render + PSNR every N steps "
                          "(0 disables); curves land in the metrics file")
@@ -82,7 +91,7 @@ def main():
     from neural_raytracing_tpu.integrators import Direct
     from neural_raytracing_tpu.training import (
         evaluate, init_train_state, load_scene, load_train_state,
-        make_optimizer, save_scene, save_train_state, train,
+        make_optimizer, rand_uv_mask, save_scene, save_train_state, train,
     )
     from neural_raytracing_tpu.training.datasets import load_nerf_synthetic
 
@@ -169,6 +178,7 @@ def main():
                 scene, Direct(training=True), opt, state, make_camera,
                 data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
                 size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
+                uv_select=rand_uv_mask if args.mask_crops else None,
                 n_views=args.n_views, log_every=args.log_every, mesh=mesh,
                 extra_loss=extra_loss, metrics=metrics,
                 valid_fn=valid_fn if args.valid_freq else None,

@@ -46,8 +46,8 @@ def main():
     from neural_raytracing_tpu.cameras import NeRFCamera
     from neural_raytracing_tpu.integrators import Direct
     from neural_raytracing_tpu.training import (
-        evaluate, init_train_state, load_scene, make_optimizer, save_scene,
-        train,
+        evaluate, init_train_state, load_scene, make_optimizer,
+        rand_uv_mask, save_scene, train,
     )
     from neural_raytracing_tpu.training.datasets import load_nerv
 
@@ -80,6 +80,9 @@ def main():
             scene, Direct(training=True), opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
             size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
+            # mask-centered crops: the reference train_nerv_ptl default
+            # (training_utils.py:706 rand_uv_mask)
+            uv_select=rand_uv_mask,
             n_views=args.n_views, tone_mapping=True,
             light_update=light_update, log_every=args.log_every,
             save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
