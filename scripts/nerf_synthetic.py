@@ -69,6 +69,12 @@ def main():
                          "collapse mode at the reference bsdf lr 8e-4 "
                          "(RESULTS.md) drives sigmoid weights to ~1e-34 "
                          "where any post-sigmoid penalty is inert")
+    ap.add_argument("--load-from", type=str, default=None,
+                    help="seed params from another model dir (progressive "
+                         "resolution: scene params are resolution-"
+                         "independent 3D MLPs, so a size-64-trained model "
+                         "fine-tunes at 256 — from-scratch 256 runs darken "
+                         "to black on low-coverage GT, RESULTS.md)")
     ap.add_argument("--mask-crops", action="store_true",
                     help="center training crops on random object-mask "
                          "pixels (rand_uv_mask — the reference HARNESS "
@@ -117,6 +123,10 @@ def main():
         print(f"resumed from step {step}")
     elif args.load:
         state = state._replace(params=load_scene(model_dir, state.params))
+    elif args.load_from:
+        state = state._replace(
+            params=load_scene(args.load_from, state.params))
+        print(f"seeded params from {args.load_from}")
 
     c2ws = data.cam_to_worlds
 
