@@ -69,6 +69,12 @@ def main():
                          "collapse mode at the reference bsdf lr 8e-4 "
                          "(RESULTS.md) drives sigmoid weights to ~1e-34 "
                          "where any post-sigmoid penalty is inert")
+    ap.add_argument("--no-ssim", action="store_true",
+                    help="drop the -log SSIM term from the color loss "
+                         "(ablation; reference keeps it, utils.py:328-347)")
+    ap.add_argument("--mask-weight", type=float, default=15.0,
+                    help="miss-loss (mask BCE) weight (reference: 15, "
+                         "training_utils.py:270-272)")
     ap.add_argument("--load-from", type=str, default=None,
                     help="seed params from another model dir (progressive "
                          "resolution: scene params are resolution-"
@@ -188,6 +194,7 @@ def main():
                 scene, Direct(training=True), opt, state, make_camera,
                 data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
                 size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
+                with_ssim=not args.no_ssim, mask_weight=args.mask_weight,
                 uv_select=rand_uv_mask if args.mask_crops else None,
                 n_views=args.n_views, log_every=args.log_every, mesh=mesh,
                 extra_loss=extra_loss, metrics=metrics,
