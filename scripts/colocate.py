@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--relight-data", type=str, default=None,
                     help="dir with gt_{kind}_{i}_{j}_{k}_{l}.png relight "
                          "grid (test_colocate_resources equivalent)")
+    ap.add_argument("--no-ssim", action="store_true",
+                    help="drop the -log SSIM color-loss term (ablation; the\n                         term is net-darkening on dark GT at fine\n                         resolutions, RESULTS.md)")
     ap.add_argument("--surface-lr", type=float, default=8e-5)
     ap.add_argument("--bsdf-lr", type=float, default=8e-5)  # colocate.py:87
     ap.add_argument("--light-lr", type=float, default=8e-5)
@@ -127,6 +129,7 @@ def main():
             scene, Direct(training=True), opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
             size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
+            with_ssim=not args.no_ssim,
             # mask-centered crops: the reference train_sample default
             # (training_utils.py:138 rand_uv_mask)
             uv_select=rand_uv_mask,

@@ -33,6 +33,8 @@ def build_scene(max_steps=64, dist=2.2, occlusion="learned"):
 def main():
     ap = base_parser(__doc__)
     ap.add_argument("--data", type=str, required=True)
+    ap.add_argument("--no-ssim", action="store_true",
+                    help="drop the -log SSIM color-loss term (ablation; the\n                         term is net-darkening on dark GT at fine\n                         resolutions, RESULTS.md)")
     ap.add_argument("--surface-lr", type=float, default=4e-5)  # nerv.py:99
     ap.add_argument("--bsdf-lr", type=float, default=4e-5)
     ap.add_argument("--light-lr", type=float, default=4e-5)
@@ -80,6 +82,7 @@ def main():
             scene, Direct(training=True), opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
             size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
+            with_ssim=not args.no_ssim,
             # mask-centered crops: the reference train_nerv_ptl default
             # (training_utils.py:706 rand_uv_mask)
             uv_select=rand_uv_mask,
