@@ -40,10 +40,16 @@ def _gaussian_blur(x: jax.Array, win_size: int, sigma: float) -> jax.Array:
     kh = jnp.tile(g.reshape(1, 1, win_size, 1), (c, 1, 1, 1))
     kw = jnp.tile(g.reshape(1, 1, 1, win_size), (c, 1, 1, 1))
     dn = ("NCHW", "OIHW", "NCHW")
+    # HIGHEST precision: on v5e f32 convs otherwise lower to bf16 passes,
+    # and SSIM's E[x^2] - mu^2 variance cancellation then produces errors
+    # on the order of C2 = 9e-4 — denominators near zero made a TPU eval
+    # report SSIM 2.07 on a batch whose true value is 0.94 (CPU-exact)
     x = lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     x = lax.conv_general_dilated(x, kw, (1, 1), "VALID",
-                                 dimension_numbers=dn, feature_group_count=c)
+                                 dimension_numbers=dn, feature_group_count=c,
+                                 precision=lax.Precision.HIGHEST)
     return x
 
 
