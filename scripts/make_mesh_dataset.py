@@ -314,8 +314,13 @@ def main():
                                dist=1.2)
                 cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                                  focal=nerf_focal)
-                d = rng.normal(size=3)
-                d[2] = abs(d[2]) + 0.3
+                # per-frame light in the CAMERA's hemisphere (handheld-
+                # flash capture style, like the NeRV rigs): an absolute
+                # light distribution leaves opposite-azimuth views fully
+                # backlit — ~40% of frames were pitch black, and training
+                # on them collapses to black (RESULTS.md)
+                d = c2w[:3, 3] / np.linalg.norm(c2w[:3, 3]) \
+                    + 0.6 * rng.normal(size=3)
                 light = 1.3 * d / np.linalg.norm(d)
                 img = render(cam, light, scale)
                 Image.fromarray(
