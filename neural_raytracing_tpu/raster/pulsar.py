@@ -96,7 +96,12 @@ class PulsarRenderer:
             spheres, (self.height, self.width),
             points_per_pixel=self.spheres_per_pixel, chunk=self.chunk)
 
-        valid = frags.idx >= 0
+        # pulsar culls spheres outside [min_depth, max_depth] (the CUDA
+        # renderer excludes them before blending); without this, beyond-
+        # max_depth spheres would still contribute at background-level
+        # weight through the clamped closeness below
+        in_range = (frags.zbuf >= min_depth) & (frags.zbuf <= max_depth)
+        valid = (frags.idx >= 0) & in_range
         safe_idx = jnp.maximum(frags.idx, 0)
         c = jnp.where(valid[..., None], col[safe_idx], 0.0)
         op = (jnp.ones_like(rad) if opacity is None

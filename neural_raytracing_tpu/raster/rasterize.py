@@ -38,7 +38,10 @@ from jax import lax
 
 class Fragments(NamedTuple):
     """Per-pixel K-buffer (idx ``[H, W, K]``, zbuf, dists; bary
-    ``[H, W, K, 3]`` for meshes, zeros otherwise)."""
+    ``[H, W, K, 3]`` for meshes, None otherwise).  Empty slots fill
+    every field with -1, matching the reference rasterizer's padding
+    (rasterize_meshes.py) — test ``idx >= 0`` (or ``bary >= 0``) for
+    occupancy before consuming values."""
     idx: jax.Array
     zbuf: jax.Array
     dists: jax.Array
@@ -230,4 +233,7 @@ def rasterize_meshes(verts: jax.Array, faces: jax.Array, image_size=256,
         idx=idx,
         zbuf=jnp.where(filled, z, -1.0),
         dists=jnp.where(filled, pay[..., 0], -1.0),
-        bary=jnp.where(filled[..., None], pay[..., 1:4], 0.0))
+        # empty slots follow the reference's -1 fill for ALL fields
+        # (rasterize_meshes.py pads idx/zbuf/dists/bary with -1), so code
+        # that tests bary < 0 for emptiness behaves identically
+        bary=jnp.where(filled[..., None], pay[..., 1:4], -1.0))

@@ -81,6 +81,27 @@ def nan_policy(args) -> str:
     return "skip" if getattr(args, "nan_skip", False) else "raise"
 
 
+def metrics_path_for(outputs: str, name: str) -> str:
+    """Collision-proof metrics curve path.
+
+    A smoke run that reuses a dataset name must never clobber a prior
+    (possibly 25k-row) curve: ``flush_metrics`` rewrites its file with
+    ``"w"`` on every flush, so resolving the path once at process start
+    and refusing to reuse an existing non-empty file makes overwrites
+    impossible (round-2 post-mortem: a 60-step DP smoke erased the
+    flagship curve at HEAD).
+    """
+    os.makedirs(outputs, exist_ok=True)
+    path = os.path.join(outputs, f"metrics_{name}.jsonl")
+    k = 0
+    while os.path.exists(path) and os.path.getsize(path) > 0:
+        k += 1
+        path = os.path.join(outputs, f"metrics_{name}-{k}.jsonl")
+    if k:
+        print(f"metrics: {name} curve exists; writing to {path}")
+    return path
+
+
 def chunk_for(size: int, cap: int = 128) -> int:
     """Largest render tile <= cap that divides ``size`` (pathtrace asserts
     divisibility; keep tiles >= ~100 px where possible — smaller dispatches

@@ -64,7 +64,9 @@ def main():
                     help="dir with gt_{kind}_{i}_{j}_{k}_{l}.png relight "
                          "grid (test_colocate_resources equivalent)")
     ap.add_argument("--no-ssim", action="store_true",
-                    help="drop the -log SSIM color-loss term (ablation; the\n                         term is net-darkening on dark GT at fine\n                         resolutions, RESULTS.md)")
+                    help="drop the -log SSIM color-loss term (ablation; "
+                         "the term is net-darkening on dark GT at fine "
+                         "resolutions, RESULTS.md)")
     ap.add_argument("--surface-lr", type=float, default=8e-5)
     ap.add_argument("--bsdf-lr", type=float, default=8e-5)  # colocate.py:87
     ap.add_argument("--light-lr", type=float, default=8e-5)

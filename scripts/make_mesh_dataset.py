@@ -26,7 +26,7 @@ import os
 
 import numpy as np
 
-from _common import base_parser, force_cpu_if_requested
+from _common import base_parser, chunk_for, force_cpu_if_requested
 
 
 def trefoil_knot(rings: int = 160, segments: int = 20,
@@ -133,11 +133,62 @@ def star_prism(teeth: int = 9, r_outer: float = 0.50, r_inner: float = 0.28,
     return verts.astype(np.float32), np.asarray(faces, np.int32)
 
 
+def _box_tris(center, half):
+    """Axis-aligned box -> 12 outward-wound triangles."""
+    cx, cy, cz = center
+    hx, hy, hz = half
+    v = np.asarray([[cx + sx * hx, cy + sy * hy, cz + sz * hz]
+                    for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+                   np.float32)
+    # index = 4*sx + 2*sy + sz with s in {0, 1}
+    quads = [  # (a, b, c, d) counter-clockwise seen from outside
+        (0, 1, 3, 2),  # -x
+        (4, 6, 7, 5),  # +x
+        (0, 4, 5, 1),  # -y
+        (2, 3, 7, 6),  # +y
+        (0, 2, 6, 4),  # -z
+        (1, 5, 7, 3),  # +z
+    ]
+    f = []
+    for a, b, c, d in quads:
+        f += [[a, b, c], [a, c, d]]
+    return v, np.asarray(f, np.int32)
+
+
+def blocks(scale: float = 1.0):
+    """A blocky multi-part structure (lego-class GT): stacked slabs, cabin,
+    chimney, four corner posts — flat faces, sharp edges, ledges that
+    self-shadow, and enough silhouette bulk for high frame coverage."""
+    parts = [
+        # (center, half-extents)
+        ((0.00, 0.00, -0.28), (0.50, 0.34, 0.10)),   # base slab
+        ((0.00, 0.00, -0.08), (0.36, 0.26, 0.12)),   # mid deck
+        ((-0.10, 0.00, 0.16), (0.22, 0.20, 0.14)),   # cabin
+        ((-0.10, 0.00, 0.36), (0.26, 0.24, 0.045)),  # roof overhang
+        ((0.30, 0.12, 0.10), (0.055, 0.055, 0.30)),  # chimney
+        ((0.44, 0.28, -0.10), (0.06, 0.06, 0.22)),   # corner posts
+        ((0.44, -0.28, -0.10), (0.06, 0.06, 0.22)),
+        ((-0.44, 0.28, -0.10), (0.06, 0.06, 0.22)),
+        ((-0.44, -0.28, -0.10), (0.06, 0.06, 0.22)),
+        ((0.16, -0.16, 0.14), (0.09, 0.09, 0.09)),   # crate on deck
+    ]
+    verts, faces = [], []
+    off = 0
+    for center, half in parts:
+        v, f = _box_tris(center, half)
+        verts.append(v * scale)
+        faces.append(f + off)
+        off += len(v)
+    return (np.concatenate(verts, axis=0),
+            np.concatenate(faces, axis=0).astype(np.int32))
+
+
 MESHES = {"knot": trefoil_knot, "ico": displaced_icosphere,
-          "gear": star_prism}
+          "gear": star_prism, "blocks": blocks}
 
 
-def build_gt_scene(kind: str, light_scale: float, occlusion: str = "hard"):
+def build_gt_scene(kind: str, light_scale: float, occlusion: str = "hard",
+                   obj_scale: float = 1.0, material: str = "default"):
     import jax.numpy as jnp
 
     import neural_raytracing_tpu as nrt
@@ -149,11 +200,23 @@ def build_gt_scene(kind: str, light_scale: float, occlusion: str = "hard"):
     from neural_raytracing_tpu.shapes import TriangleMesh
 
     verts, faces = MESHES[kind]()
-    shape = TriangleMesh(verts, faces)
-    bsdf = ComposeSpatialVarying(
-        [Diffuse((0.7, 0.3, 0.2)), Diffuse((0.2, 0.4, 0.7)), Conductor()],
-        sp_var_fn=SkipConnMLP(in_size=3, out=3, num_layers=2, hidden_size=32,
-                              freqs=8, sigma=8.0))
+    shape = TriangleMesh(verts * np.float32(obj_scale), faces)
+    if material == "variety":
+        # lego-class regime: a bright multi-hue palette with a sharper
+        # spatial-assignment MLP, so the GT has per-region albedo variety
+        # and a high median object pixel (the reference's lego/hotdog
+        # scenes are bright multi-material objects)
+        bsdfs = [Diffuse((0.85, 0.72, 0.25)), Diffuse((0.78, 0.22, 0.18)),
+                 Diffuse((0.25, 0.55, 0.85)), Diffuse((0.45, 0.78, 0.35)),
+                 Conductor()]
+        sp_var = SkipConnMLP(in_size=3, out=len(bsdfs), num_layers=2,
+                             hidden_size=32, freqs=16, sigma=16.0)
+    else:
+        bsdfs = [Diffuse((0.7, 0.3, 0.2)), Diffuse((0.2, 0.4, 0.7)),
+                 Conductor()]
+        sp_var = SkipConnMLP(in_size=3, out=len(bsdfs), num_layers=2,
+                             hidden_size=32, freqs=8, sigma=8.0)
+    bsdf = ComposeSpatialVarying(bsdfs, sp_var_fn=sp_var)
     lights = PointLights(scale=light_scale)
     return nrt.Scene(shape=shape, bsdf=bsdf, lights=lights,
                      occlusion=occlusion)
@@ -181,6 +244,14 @@ def main():
                          "the MEDIAN object pixel at 0, which drives the "
                          "radiance-down saturation cascade in training — "
                          "see RESULTS.md)")
+    ap.add_argument("--obj-scale", type=float, default=1.0,
+                    help="scale the GT mesh (frame coverage knob)")
+    ap.add_argument("--cam-dist", type=float, default=1.2,
+                    help="camera distance from origin (nerf/nerv formats)")
+    ap.add_argument("--material", type=str, default="default",
+                    choices=["default", "variety"],
+                    help="'variety' = bright 5-material palette with a "
+                         "sharper spatial-assignment MLP (lego-class GT)")
     ap.add_argument("--n-lights", type=int, default=1,
                     help="static point lights for the nerf format (a ring "
                          "at elev 35; each frame sums one render per "
@@ -200,14 +271,11 @@ def main():
     from neural_raytracing_tpu.integrators import Direct, Mask
 
     scene = build_gt_scene(args.kind, light_scale=1.0,
-                           occlusion=args.occlusion)
+                           occlusion=args.occlusion,
+                           obj_scale=args.obj_scale, material=args.material)
     params = scene.init(jax.random.PRNGKey(7))
     integrator = Mask(Direct(training=False))
-    # largest tile <= 128 that divides the image (pathtrace requires it;
-    # e.g. NeRV's size 200 -> 100)
-    chunk = min(args.size, 128)
-    while args.size % chunk:
-        chunk -= 1
+    chunk = chunk_for(args.size)
 
     def render(cam, light_loc, scale):
         p = dict(params)
@@ -250,7 +318,7 @@ def main():
         probes = []
         for elev, azim in [(15.0, 30.0), (35.0, -120.0)]:
             if args.format in ("nerf", "nerv"):
-                c2w = nerf_c2w(elev, azim, dist=1.2)
+                c2w = nerf_c2w(elev, azim, dist=args.cam_dist)
                 cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                                  focal=nerf_focal)
                 # nerv lights sit on a 1.3-radius shell; probe there so the
@@ -284,7 +352,7 @@ def main():
             frames = []
             for i in range(n):
                 c2w = nerf_c2w(rng.uniform(-10, 55), rng.uniform(-180, 180),
-                               dist=1.2)
+                               dist=args.cam_dist)
                 cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                                  focal=nerf_focal)
                 img = render_rig(cam, rig, scale)
@@ -311,7 +379,7 @@ def main():
             frames = []
             for i in range(n):
                 c2w = nerf_c2w(rng.uniform(-10, 55), rng.uniform(-180, 180),
-                               dist=1.2)
+                               dist=args.cam_dist)
                 cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                                  focal=nerf_focal)
                 # per-frame light in the CAMERA's hemisphere (handheld-

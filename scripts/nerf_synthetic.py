@@ -11,7 +11,8 @@ N=6 views/step; march 64 steps train / 256 test; then test-split eval.
 
 import numpy as np
 
-from _common import base_parser, chunk_for, force_cpu_if_requested, nan_policy, save_image
+from _common import (base_parser, chunk_for, force_cpu_if_requested,
+                     metrics_path_for, nan_policy, save_image)
 
 
 def build_scene(max_steps=64, surface="spheres", stable_init=False):
@@ -167,7 +168,7 @@ def main():
     import neural_raytracing_tpu as nrt
 
     metrics: list = []
-    metrics_path = f"{args.outputs}/metrics_{name}.jsonl"
+    metrics_path = metrics_path_for(args.outputs, name)
 
     def valid_fn(st, i):
         img, _ = nrt.pathtrace(

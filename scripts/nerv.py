@@ -34,7 +34,9 @@ def main():
     ap = base_parser(__doc__)
     ap.add_argument("--data", type=str, required=True)
     ap.add_argument("--no-ssim", action="store_true",
-                    help="drop the -log SSIM color-loss term (ablation; the\n                         term is net-darkening on dark GT at fine\n                         resolutions, RESULTS.md)")
+                    help="drop the -log SSIM color-loss term (ablation; "
+                         "the term is net-darkening on dark GT at fine "
+                         "resolutions, RESULTS.md)")
     ap.add_argument("--surface-lr", type=float, default=4e-5)  # nerv.py:99
     ap.add_argument("--bsdf-lr", type=float, default=4e-5)
     ap.add_argument("--light-lr", type=float, default=4e-5)
