@@ -76,7 +76,7 @@ def _mlp_weight_arrays(sp, compute_dtype=jnp.float32):
 
 
 def _make_sdf_eval(mlp: SkipConnMLP, k_smooth: float, refs,
-                   compute_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, stable_min: bool = False):
     """Closure evaluating the full SphereSDF on a [B, 3] block -> [B, 1].
 
     With ``compute_dtype=bfloat16`` the MLP matmul operands are bf16
@@ -99,9 +99,16 @@ def _make_sdf_eval(mlp: SkipConnMLP, k_smooth: float, refs,
         qy = jnp.dot(p, wy[:], preferred_element_type=f32) - cy[:]
         qz = jnp.dot(p, wz[:], preferred_element_type=f32) - cz[:]
         d = jnp.sqrt(qx * qx + qy * qy + qz * qz) - radii[:]
-        sm = -jnp.log(jnp.maximum(
-            jnp.sum(jnp.exp(-k_smooth * d), axis=-1, keepdims=True),
-            1e-4)) / k_smooth
+        if stable_min:
+            # exact logsumexp smooth-min (SphereSDF(stable_min=True))
+            m = jnp.max(-k_smooth * d, axis=-1, keepdims=True)
+            sm = -(m + jnp.log(jnp.sum(
+                jnp.exp(-k_smooth * d - m), axis=-1,
+                keepdims=True))) / k_smooth
+        else:
+            sm = -jnp.log(jnp.maximum(
+                jnp.sum(jnp.exp(-k_smooth * d), axis=-1, keepdims=True),
+                1e-4)) / k_smooth
 
         mapped = jnp.dot(p, b_ref[:], preferred_element_type=f32)
         enc = jnp.concatenate([p, jnp.sin(mapped), jnp.cos(mapped)],
@@ -125,7 +132,8 @@ def _make_sdf_eval(mlp: SkipConnMLP, k_smooth: float, refs,
 
 def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
                         epsilon: float, n_weights: int,
-                        compute_dtype=jnp.float32, omega: float = 1.0):
+                        compute_dtype=jnp.float32, omega: float = 1.0,
+                        stable_min: bool = False):
     # state lives in the OUTPUT refs (Mosaic rejects vector-carried
     # scf loops); the early exit is a pl.when skip of the whole body once
     # every lane in the block is resolved — semantically identical to the
@@ -145,7 +153,8 @@ def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
             prev_ref, slen_ref, om_ref = refs[-3], refs[-2], refs[-1]
         else:
             depth_ref, hit_ref = refs[-2], refs[-1]
-        sdf_eval = _make_sdf_eval(mlp, k_smooth, w_refs, compute_dtype)
+        sdf_eval = _make_sdf_eval(mlp, k_smooth, w_refs, compute_dtype,
+                                  stable_min=stable_min)
 
         ro = ro_ref[:]
         rd = rd_ref[:]
@@ -199,7 +208,8 @@ def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
 def _build_shadow_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
                          epsilon: float, n_weights: int,
                          compute_dtype=jnp.float32,
-                         past_light_exit: bool = False):
+                         past_light_exit: bool = False,
+                         stable_min: bool = False):
     # exact replica of SDF.intersect_test's loop: depths start at 1e2*eps,
     # strict < hit test, the hit step's distance IS applied, rays marching
     # past max_t keep marching (the reference lets a negative-sdf overshoot
@@ -226,7 +236,8 @@ def _build_shadow_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
             ro_ref, rd_ref = refs[0], refs[1]
             w_refs = refs[2:2 + n_weights]
         depth_ref, rem_ref = refs[-2], refs[-1]
-        sdf_eval = _make_sdf_eval(mlp, k_smooth, w_refs, compute_dtype)
+        sdf_eval = _make_sdf_eval(mlp, k_smooth, w_refs, compute_dtype,
+                                  stable_min=stable_min)
 
         ro = ro_ref[:]
         rd = rd_ref[:]
@@ -260,7 +271,7 @@ def _build_shadow_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
 
 def _build_minscan_kernel(mlp: SkipConnMLP, k_smooth: float, steps: int,
                           n_weights: int, compute_dtype=jnp.float32,
-                          unroll: int = 4):
+                          unroll: int = 4, stable_min: bool = False):
     # the scan's evaluations are independent, so ``unroll`` steps are
     # stacked into one (unroll*B)-row MLP evaluation per iteration —
     # larger matmuls pipeline much better on the MXU than 512-row ones.
@@ -274,7 +285,8 @@ def _build_minscan_kernel(mlp: SkipConnMLP, k_smooth: float, steps: int,
         ro_ref, rd_ref = refs[1], refs[2]
         w_refs = refs[3:3 + n_weights]
         idx_ref, mn_ref = refs[-2], refs[-1]     # output, VMEM scratch
-        sdf_eval = _make_sdf_eval(mlp, k_smooth, w_refs, compute_dtype)
+        sdf_eval = _make_sdf_eval(mlp, k_smooth, w_refs, compute_dtype,
+                                  stable_min=stable_min)
 
         ro = ro_ref[:]
         rd = rd_ref[:]
@@ -357,7 +369,8 @@ def fused_march(module, params, r_o, r_d, max_t, *, max_steps: int,
     row, in_specs = _specs(block_rows, weights)
     depths, hit = pl.pallas_call(
         _build_march_kernel(module.shift, module.k, max_steps, epsilon,
-                            len(weights), compute_dtype, omega),
+                            len(weights), compute_dtype, omega,
+                            stable_min=getattr(module, "stable_min", False)),
         grid=(n_pad // block_rows,),
         in_specs=in_specs,
         out_specs=[row(1), row(1)],
@@ -396,7 +409,9 @@ def fused_shadow_march(module, params, r_o, r_d, max_t, *, max_steps: int,
     depths, rem = pl.pallas_call(
         _build_shadow_kernel(module.shift, module.k, max_steps, epsilon,
                              len(weights), compute_dtype,
-                             past_light_exit=past_light_exit),
+                             past_light_exit=past_light_exit,
+                             stable_min=getattr(module, "stable_min",
+                                                False)),
         grid=(n_pad // block_rows,),
         in_specs=in_specs,
         out_specs=[row(1), row(1)],
@@ -430,7 +445,9 @@ def fused_min_scan(module, params, r_o, r_d, step_size, *, steps: int,
     row, in_specs = _specs(block_rows, weights)
     idx = pl.pallas_call(
         _build_minscan_kernel(module.shift, module.k, steps, len(weights),
-                              compute_dtype),
+                              compute_dtype,
+                              stable_min=getattr(module, "stable_min",
+                                                 False)),
         grid=(n_pad // block_rows,),
         in_specs=in_specs,
         out_specs=row(1),

@@ -28,24 +28,28 @@ import jax.numpy as jnp
 from ..nn.mlp import SkipConnMLP
 
 
-def _sphere_part_jnp(params, flat):
+def _sphere_part_jnp(params, flat, k=32.0, stable_min=False):
     """Reference jnp smooth-min sphere set (matches SphereSDF math)."""
-    from ..ops.math import smooth_min
+    from ..ops.math import smooth_min, stable_smooth_min
     tfs = params["tfs"] + jnp.eye(3, dtype=flat.dtype)
     q = jnp.einsum("ijk,bk->ibj", tfs, flat) - params["centers"][:, None, :]
     sd = jnp.linalg.norm(q, axis=-1) - params["radii"][:, None]
-    return smooth_min(sd, k=32.0, axis=0)
+    mn = stable_smooth_min if stable_min else smooth_min
+    return mn(sd, k=k, axis=0)
 
 
 def _jnp_forward(module, params, p):
     """The exact unfused SphereSDF forward (for the backward rule)."""
     batches = p.shape[:-1]
     flat = p.reshape(-1, 3)
-    out = _sphere_part_jnp(params, flat).reshape(batches)
+    out = _sphere_part_jnp(params, flat, k=module.k,
+                           stable_min=getattr(module, "stable_min", False)
+                           ).reshape(batches)
     return out + module.shift_jnp(params["shift"], p)[..., 0]
 
 
-def _build_kernel(mlp: SkipConnMLP, k_smooth: float):
+def _build_kernel(mlp: SkipConnMLP, k_smooth: float,
+                  stable_min: bool = False):
     act = mlp.activation
     num_layers = mlp.num_layers
 
@@ -65,9 +69,15 @@ def _build_kernel(mlp: SkipConnMLP, k_smooth: float):
         qy = jnp.dot(p, wy[:], preferred_element_type=f32) - cy[:]
         qz = jnp.dot(p, wz[:], preferred_element_type=f32) - cz[:]
         d = jnp.sqrt(qx * qx + qy * qy + qz * qz) - radii[:]
-        sm = -jnp.log(jnp.maximum(
-            jnp.sum(jnp.exp(-k_smooth * d), axis=-1, keepdims=True),
-            1e-4)) / k_smooth
+        if stable_min:
+            m = jnp.max(-k_smooth * d, axis=-1, keepdims=True)
+            sm = -(m + jnp.log(jnp.sum(
+                jnp.exp(-k_smooth * d - m), axis=-1,
+                keepdims=True))) / k_smooth
+        else:
+            sm = -jnp.log(jnp.maximum(
+                jnp.sum(jnp.exp(-k_smooth * d), axis=-1, keepdims=True),
+                1e-4)) / k_smooth
 
         # residual MLP (same structure as fused_mlp)
         mapped = jnp.dot(p, b_ref[:], preferred_element_type=f32)
@@ -121,7 +131,8 @@ def _pallas_forward(module, params, p, block_rows: int = 512,
                                   memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        _build_kernel(mlp, module.k),
+        _build_kernel(mlp, module.k,
+                      stable_min=getattr(module, "stable_min", False)),
         grid=grid,
         in_specs=[row_spec(3)] + [full(w) for w in weights],
         out_specs=row_spec(1),
@@ -160,16 +171,18 @@ class FusedSphereSDF:
     """
 
     def __init__(self, n: int = 128, k: float = 32.0, mlp=None,
-                 mode: str = "auto", block_rows: int = 512):
+                 mode: str = "auto", block_rows: int = 512,
+                 stable_min: bool = False):
         from ..shapes.sdf import SphereSDF
         # plain (non-fused-MLP) shift: the whole module is fused here
         if mlp is None:
             mlp = SkipConnMLP(in_size=3, out=1, num_layers=8,
                               hidden_size=128, freqs=32,
                               activation="softplus", init="zeros")
-        self._ref = SphereSDF(n=n, k=k, mlp=mlp)
+        self._ref = SphereSDF(n=n, k=k, mlp=mlp, stable_min=stable_min)
         self.n = n
         self.k = k
+        self.stable_min = stable_min
         self.shift = mlp
         assert mode in ("auto", "force", "off")
         self.mode = mode

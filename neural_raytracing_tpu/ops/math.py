@@ -50,8 +50,28 @@ def dot(a: jax.Array, b: jax.Array, keepdims: bool = True) -> jax.Array:
 
 
 def smooth_min(v: jax.Array, k: float = 32.0, axis: int = 0) -> jax.Array:
-    """Exponential smooth minimum: ``-log(max(sum(exp(-k v)), 1e-4)) / k``."""
+    """Exponential smooth minimum: ``-log(max(sum(exp(-k v)), 1e-4)) / k``.
+
+    Reference parity (sdfs.py:41-44): the 1e-4 clamp SATURATES the field at
+    ``-log(1e-4)/k`` (0.288 for k=32) — beyond that distance from the
+    sphere set the field is constant, which is the root of the degenerate
+    trained fields recorded in CLAUDE.md.  ``stable_smooth_min`` below is
+    the exact smooth-min without the plateau."""
     return -jnp.log(jnp.maximum(jnp.sum(jnp.exp(-k * v), axis=axis), 1e-4)) / k
+
+
+def stable_smooth_min(v: jax.Array, k: float = 32.0,
+                      axis: int = 0) -> jax.Array:
+    """Exact exponential smooth minimum via logsumexp: ``-lse(-k v)/k``.
+
+    Numerically stable at ANY distance (max-subtracted), so the field
+    keeps true distance information arbitrarily far from the sphere set
+    instead of clamping at -log(1e-4)/k; within ~0.2 of the surface it
+    agrees with ``smooth_min`` to f32 precision.  Opt-in through
+    ``SphereSDF(stable_min=True)`` — a deliberate divergence from the
+    reference quirk for runs that need a marchable far field (sphere-trace
+    early exit, overrelaxation, shadow blocker detection)."""
+    return -jax.nn.logsumexp(-k * v, axis=axis) / k
 
 
 def weak_sigmoid(x: jax.Array, k: float = 4e-4, sqrt_k: float = 2e-2,

@@ -30,7 +30,7 @@ from jax import lax
 
 from ..interaction import Interaction
 from ..nn.mlp import SkipConnMLP
-from ..ops.math import normalize, smooth_min
+from ..ops.math import normalize, smooth_min, stable_smooth_min
 
 
 def sphere_sdf(p: jax.Array, radius: float = 1.0) -> jax.Array:
@@ -68,12 +68,22 @@ UNIT_SPHERE = FunctionalSDF(sphere_sdf)
 
 
 class SphereSDF:
-    """Smooth-min of learnable transformed spheres + zero-init MLP residual."""
+    """Smooth-min of learnable transformed spheres + zero-init MLP residual.
+
+    ``stable_min=True`` replaces the reference's clamped smooth-min
+    (sdfs.py:41-44, saturates at -log(1e-4)/k = 0.288 for k=32) with the
+    exact logsumexp form: the field keeps true distance information far
+    from the sphere set, so sphere-trace early exit / overrelaxation /
+    shadow blocker detection work on TRAINED fields (CLAUDE.md records the
+    clamped fields as degenerate).  Default False = reference parity.
+    """
 
     def __init__(self, n: int = 128, k: float = 32.0,
-                 mlp: Optional[SkipConnMLP] = None):
+                 mlp: Optional[SkipConnMLP] = None,
+                 stable_min: bool = False):
         self.n = n
         self.k = k
+        self.stable_min = stable_min
         if mlp is None:
             from ..kernels.fused_mlp import FusedSkipConnMLP
             mlp = FusedSkipConnMLP(
@@ -96,7 +106,8 @@ class SphereSDF:
         tfs = params["tfs"] + jnp.eye(3, dtype=flat.dtype)
         q = jnp.einsum("ijk,bk->ibj", tfs, flat) - params["centers"][:, None, :]
         sd = jnp.linalg.norm(q, axis=-1) - params["radii"][:, None]
-        out = smooth_min(sd, k=self.k, axis=0).reshape(batches)
+        mn = stable_smooth_min if self.stable_min else smooth_min
+        out = mn(sd, k=self.k, axis=0).reshape(batches)
         return out + self.shift(params["shift"], p)[..., 0]
 
 
@@ -200,7 +211,7 @@ class SDF:
                  throughput_steps: int = 128, alpha: float = 1000.0,
                  warp: Optional[Callable] = None,
                  fused_loops: str = "auto", march_dtype=None,
-                 omega: float = 1.0, shadow_past_light_exit: bool = False,
+                 omega: float = 1.0, shadow_past_light_exit: bool = True,
                  throughput_mode: str = "full"):
         self.module = sdf_module
         self.epsilon = epsilon
@@ -227,12 +238,14 @@ class SDF:
         # converges in fewer iterations on trained surfaces)
         assert 1.0 <= omega < 2.0
         self.omega = omega
-        # opt-in: freeze shadow rays once they march past the light
-        # (physically unblocked).  False = exact reference parity
-        # (sdfs.py:162-181 keeps marching and lets a negative-sdf overshoot
-        # pull a ray back past max_t); True is result-identical on true
-        # SDFs and lets the fused shadow kernel's block early-exit fire for
-        # the unblocked majority instead of running all max_steps.
+        # freeze shadow rays once they march past the light (physically
+        # unblocked).  Default True (round-3 flip): result-identical on
+        # true SDFs AND measured identical on the trained test scenes
+        # (RESULTS.md), and it lets the fused shadow kernel's block
+        # early-exit fire for the unblocked majority instead of running
+        # all max_steps (256^2 eval render 128.7 -> 107.8 ms).  False =
+        # exact reference parity (sdfs.py:162-181 keeps marching and lets
+        # a negative-sdf overshoot pull a ray back past max_t).
         self.shadow_past_light_exit = shadow_past_light_exit
         # "full" = reference training config (one min-scan sample per ray);
         # "half_res" = the reference's half_res_throughput evaluator
@@ -266,7 +279,9 @@ class SDF:
         out = SDF(self.module, self.epsilon, self.max_steps, self.dist,
                   self.throughput_steps, self.alpha, warp=warp,
                   fused_loops=self.fused_loops,
-                  march_dtype=self.march_dtype, omega=self.omega)
+                  march_dtype=self.march_dtype, omega=self.omega,
+                  shadow_past_light_exit=self.shadow_past_light_exit,
+                  throughput_mode=self.throughput_mode)
         return out
 
     # ---- marching ----------------------------------------------------------

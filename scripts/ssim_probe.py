@@ -122,13 +122,24 @@ def stage_probe(args):
         g_base = torch.autograd.grad(base, got, retain_graph=True)[0]
         g_ssim = torch.autograd.grad(ssim_loss, got)[0]
 
-        # cross-check the torch ssim against our JAX implementation
+        # cross-check our JAX implementation on the SAME tensors: value AND
+        # gradient sums must match torch — that is the "the reference loss
+        # behaves identically" statement, demonstrated from both sides
+        import jax
+        import jax.numpy as jnp
+
         from neural_raytracing_tpu.ops.ssim import ssim as jax_ssim
-        jv = float(jax_ssim(
-            np.transpose(d["got"][None] * d["mask"][None][..., None],
-                         (0, 3, 1, 2)),
-            np.transpose(d["exp"][None] * d["mask"][None][..., None],
-                         (0, 3, 1, 2))))
+
+        def jax_ssim_term(got_np):
+            ga = (jnp.asarray(got_np) * d["mask"][None][..., None])
+            ea = (jnp.asarray(d["exp"][None]) * d["mask"][None][..., None])
+            return -jnp.log(jax_ssim(jnp.transpose(ga, (0, 3, 1, 2)),
+                                     jnp.transpose(ea, (0, 3, 1, 2))))
+
+        jv = float(jnp.exp(-jax_ssim_term(d["got"][None])))
+        g_jax = jax.grad(lambda g: jax_ssim_term(g))(
+            jnp.asarray(d["got"][None], jnp.float32))
+        g_jax_sum = float(jnp.sum(g_jax))
 
         row = {
             "ssim_torch": float(ssim_val),
@@ -139,6 +150,7 @@ def stage_probe(args):
             "g_base_abs_mean": float(g_base.abs().mean()),
             "g_ssim_sum": float(g_ssim.sum()),
             "g_ssim_abs_mean": float(g_ssim.abs().mean()),
+            "g_ssim_sum_jax": g_jax_sum,
         }
         report[str(size)] = row
         print(f"size {size}: torch ssim {row['ssim_torch']:.5f} "
@@ -148,6 +160,7 @@ def stage_probe(args):
               f"|mean| {row['g_base_abs_mean']:.3e}")
         print(f"  torch d(-logSSIM)/d(got): sum {row['g_ssim_sum']:+.3e}  "
               f"|mean| {row['g_ssim_abs_mean']:.3e}")
+        print(f"  jax   d(-logSSIM)/d(got): sum {row['g_ssim_sum_jax']:+.3e}")
 
     out = "outputs/ssim_probe_report.json"
     json.dump(report, open(out, "w"), indent=1)

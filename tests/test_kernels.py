@@ -181,11 +181,14 @@ class TestFusedMarch:
                           freqs=8, activation="softplus", init="uniform")
         module = SphereSDF(n=8, mlp=mlp)
         params = module.init(jax.random.PRNGKey(0))
+        # explicit reference-parity shadow mode: the package default
+        # flipped to past-light-exit=True in round 3
         ref = SDF(module, max_steps=max_steps,
-                  throughput_steps=throughput_steps, fused_loops="off")
+                  throughput_steps=throughput_steps, fused_loops="off",
+                  shadow_past_light_exit=False)
         fused = SDF(module, max_steps=max_steps,
                     throughput_steps=throughput_steps, fused_loops="force",
-                    march_dtype=jnp.float32)
+                    march_dtype=jnp.float32, shadow_past_light_exit=False)
         return ref, fused, params
 
     def _rays(self, n=70):
@@ -395,3 +398,78 @@ class TestFusedMarch:
 
         g = jax.grad(loss)(r_o)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestStableMin:
+    """SphereSDF(stable_min=True): exact logsumexp smooth-min — no
+    saturation plateau — with full plain/fused parity."""
+
+    def _module(self, stable):
+        mlp = SkipConnMLP(in_size=3, out=1, num_layers=2, hidden_size=32,
+                          freqs=8, activation="softplus", init="zeros")
+        from neural_raytracing_tpu.shapes import SphereSDF
+        m = SphereSDF(n=8, mlp=mlp, stable_min=stable)
+        return m, m.init(jax.random.PRNGKey(0))
+
+    def test_agrees_with_clamped_near_surface(self):
+        m_ref, params = self._module(False)
+        m_st, _ = self._module(True)
+        p = jax.random.normal(jax.random.PRNGKey(1), (256, 3)) * 0.15
+        a = np.asarray(m_ref(params, p))
+        b = np.asarray(m_st(params, p))
+        # within the unclamped band the two forms are identical
+        near = a < 0.2
+        assert near.sum() > 20
+        np.testing.assert_allclose(a[near], b[near], atol=1e-5)
+
+    def test_no_plateau_far_away(self):
+        m_st, params = self._module(True)
+        import math
+        plateau = -math.log(1e-4) / m_st.k          # 0.288 for k=32
+        far = jnp.asarray([[3.0, 0.0, 0.0], [0.0, 5.0, 0.0]])
+        vals = np.asarray(m_st(params, far))
+        # the stable field keeps growing with distance (zero-init shift)
+        assert (vals > 4.0 * plateau).all(), vals
+        m_ref, _ = self._module(False)
+        clamped = np.asarray(m_ref(params, far))
+        assert (clamped <= plateau + 1e-5).all(), clamped
+
+    def test_fused_kernels_match_generic_with_stable_min(self):
+        from neural_raytracing_tpu.shapes import SDF, SphereSDF
+        mlp = SkipConnMLP(in_size=3, out=1, num_layers=2, hidden_size=32,
+                          freqs=8, activation="softplus", init="uniform")
+        module = SphereSDF(n=8, mlp=mlp, stable_min=True)
+        params = module.init(jax.random.PRNGKey(0))
+        ref = SDF(module, max_steps=8, throughput_steps=8,
+                  fused_loops="off")
+        fused = SDF(module, max_steps=8, throughput_steps=8,
+                    fused_loops="force")
+        n = 96
+        r_o = jnp.zeros((n, 3)).at[:, 2].set(2.0)
+        d = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 0.15
+        r_d = (jnp.asarray([0.0, 0.0, -1.0]) + d)
+        r_d = r_d / jnp.linalg.norm(r_d, axis=-1, keepdims=True)
+        rays = jnp.concatenate([r_o, r_d], axis=-1)
+
+        it_r, hit_r = ref.intersect(params, rays, key=None)
+        it_f, hit_f = fused.intersect(params, rays, key=None)
+        np.testing.assert_array_equal(np.asarray(hit_r), np.asarray(hit_f))
+        np.testing.assert_allclose(np.asarray(it_r.t), np.asarray(it_f.t),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(it_r.throughput),
+                                   np.asarray(it_f.throughput), atol=1e-4)
+        nb_r = ref.intersect_test(params, rays, max_t=1.5)
+        nb_f = fused.intersect_test(params, rays, max_t=1.5)
+        np.testing.assert_array_equal(np.asarray(nb_r), np.asarray(nb_f))
+
+    def test_fused_sphere_sdf_module_stable_min(self):
+        from neural_raytracing_tpu.kernels.fused_sdf import FusedSphereSDF
+        from neural_raytracing_tpu.shapes import SphereSDF
+        mlp = SkipConnMLP(in_size=3, out=1, num_layers=2, hidden_size=32,
+                          freqs=8, activation="softplus", init="uniform")
+        fused = FusedSphereSDF(n=8, mlp=mlp, mode="force", stable_min=True)
+        plain = SphereSDF(n=8, mlp=mlp, stable_min=True)
+        params = plain.init(jax.random.PRNGKey(0))
+        p = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+        np.testing.assert_allclose(np.asarray(fused(params, p)),
+                                   np.asarray(plain(params, p)), atol=1e-5)
