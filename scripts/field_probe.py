@@ -40,15 +40,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import os
+
     from make_mesh_dataset import MESHES
     from nerf_synthetic import build_scene
     from neural_raytracing_tpu.raster.meshops import point_face_distance
-    from neural_raytracing_tpu.training import load_scene
+    from neural_raytracing_tpu.training.checkpoint import load_pytree
 
     scene = build_scene(max_steps=64)
     sdf = scene.shape
     params = scene.init(jax.random.PRNGKey(0))
-    params = load_scene(args.model, params)
+    # load ONLY the shape subtree: every pipeline shares the SphereSDF
+    # layout even when bsdf/light layouts differ (nerv has 7 lobes)
+    params["shape"] = load_pytree(os.path.join(args.model, "shape.msgpack"),
+                                  params["shape"])
 
     verts, faces = MESHES[args.kind]()
     verts = verts * np.float32(args.obj_scale)

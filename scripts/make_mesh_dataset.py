@@ -187,6 +187,35 @@ MESHES = {"knot": trefoil_knot, "ico": displaced_icosphere,
           "gear": star_prism, "blocks": blocks}
 
 
+def c2w_up(elev_deg, azim_deg, dist, up="y"):
+    """Camera-to-world at (elev, azim, dist) with a chosen world-up axis.
+
+    ``up="y"`` delegates to cameras.nerf_c2w (the original y-up orbit —
+    kept for the existing datasets).  ``up="z"`` orbits the +z upper
+    hemisphere like the real nerf-synthetic rigs: the mesh kinds and the
+    light ring here are built z-up, so y-up orbits put half the cameras
+    UNDER the object staring at unlit faces — a major source of the dark
+    GT regime recorded in RESULTS.md.
+    """
+    from neural_raytracing_tpu.cameras import nerf_c2w
+    if up == "y":
+        return nerf_c2w(elev_deg, azim_deg, dist)
+    e, a = math.radians(elev_deg), math.radians(azim_deg)
+    pos = np.asarray([dist * math.cos(e) * math.cos(a),
+                      dist * math.cos(e) * math.sin(a),
+                      dist * math.sin(e)])
+    forward = pos / np.linalg.norm(pos)              # camera +z (looks -z)
+    right = np.cross([0.0, 0.0, 1.0], forward)
+    right = right / max(np.linalg.norm(right), 1e-9)
+    upv = np.cross(forward, right)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 0] = right
+    m[:3, 1] = upv
+    m[:3, 2] = forward
+    m[:3, 3] = pos
+    return m
+
+
 def build_gt_scene(kind: str, light_scale: float, occlusion: str = "hard",
                    obj_scale: float = 1.0, material: str = "default"):
     import jax.numpy as jnp
@@ -252,6 +281,14 @@ def main():
                     choices=["default", "variety"],
                     help="'variety' = bright 5-material palette with a "
                          "sharper spatial-assignment MLP (lego-class GT)")
+    ap.add_argument("--up", type=str, default="y", choices=["y", "z"],
+                    help="world-up axis of the camera orbit; 'z' matches "
+                         "the z-up meshes/light rig (lego-class regime)")
+    ap.add_argument("--elev-range", type=float, nargs=2,
+                    default=(-10.0, 55.0),
+                    help="camera elevation range (nerf/nerv formats); "
+                         "upper-hemisphere-only (e.g. 8 55) avoids "
+                         "pitch-black underside views on rig-lit GT")
     ap.add_argument("--n-lights", type=int, default=1,
                     help="static point lights for the nerf format (a ring "
                          "at elev 35; each frame sums one render per "
@@ -318,7 +355,7 @@ def main():
         probes = []
         for elev, azim in [(15.0, 30.0), (35.0, -120.0)]:
             if args.format in ("nerf", "nerv"):
-                c2w = nerf_c2w(elev, azim, dist=args.cam_dist)
+                c2w = c2w_up(elev, azim, args.cam_dist, up=args.up)
                 cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                                  focal=nerf_focal)
                 # nerv lights sit on a 1.3-radius shell; probe there so the
@@ -351,8 +388,9 @@ def main():
             os.makedirs(os.path.join(args.out, split), exist_ok=True)
             frames = []
             for i in range(n):
-                c2w = nerf_c2w(rng.uniform(-10, 55), rng.uniform(-180, 180),
-                               dist=args.cam_dist)
+                c2w = c2w_up(rng.uniform(*args.elev_range),
+                             rng.uniform(-180, 180),
+                             args.cam_dist, up=args.up)
                 cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                                  focal=nerf_focal)
                 img = render_rig(cam, rig, scale)
@@ -378,8 +416,9 @@ def main():
             os.makedirs(os.path.join(base, split), exist_ok=True)
             frames = []
             for i in range(n):
-                c2w = nerf_c2w(rng.uniform(-10, 55), rng.uniform(-180, 180),
-                               dist=args.cam_dist)
+                c2w = c2w_up(rng.uniform(*args.elev_range),
+                             rng.uniform(-180, 180),
+                             args.cam_dist, up=args.up)
                 cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                                  focal=nerf_focal)
                 # per-frame light in the CAMERA's hemisphere (handheld-
