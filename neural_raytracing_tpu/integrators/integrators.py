@@ -215,10 +215,20 @@ class Direct(Integrator):
     """
 
     def __init__(self, emitter_samples: int = 1, bsdf_samples: int = 0,
-                 training: bool = True):
+                 training: bool = True, horizon_mask: bool = False):
         self.emitter_samples = emitter_samples
         self.bsdf_samples = bsdf_samples
         self.training = training
+        # opt-in physical horizon clamp on the emitter arm: zero the
+        # contribution when the light direction is below the local surface
+        # horizon (wo.z <= 0).  The reference's learned NeuralBSDF lobes
+        # have NO such clamp (bsdfs.py:634-637) and its rusin
+        # parameterization aliases below-horizon configurations onto
+        # above-horizon ones, so trained models GLOW on backlit surfaces —
+        # measured: NeRV test frames with GT mean 0.0004 render at 0.004.
+        # Default False = reference parity; the GT generators' analytic
+        # BSDFs are horizon-clamped, so masking matches GT physics.
+        self.horizon_mask = horizon_mask
 
     def dims(self):
         return 3
@@ -244,6 +254,8 @@ class Direct(Integrator):
             ds, emitter_val = sample_emitter(scene, params, it, skey, active)
             active_emitted = active & (ds.pdf > 0)
             wo = it.to_local(ds.d)
+            if self.horizon_mask:
+                active_emitted = active_emitted & (wo[..., 2] > 0.0)
             bsdf_val, bsdf_pdf, aux = scene.bsdf.eval_and_pdf(
                 params["bsdf"], it, wo, active_emitted)
             it = _attach_aux(it, aux)

@@ -15,8 +15,13 @@ import jax.numpy as jnp
 
 from .math import nonzero_eps, normalize, rotate_vector
 
-_E1 = jnp.asarray([0.0, 1.0, 0.0])
-_E2 = jnp.asarray([0.0, 0.0, 1.0])
+# numpy, not jnp: a module-level jnp constant would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize in
+# multi-process (DCN) programs — it must run before ANY backend use
+import numpy as _np
+
+_E1 = _np.asarray([0.0, 1.0, 0.0], _np.float32)
+_E2 = _np.asarray([0.0, 0.0, 1.0], _np.float32)
 
 
 def param_rusin2(wo: jax.Array, wi: jax.Array) -> jax.Array:

@@ -55,10 +55,14 @@ def main():
         return x / (1.0 + x)
 
     renders = {}
-    for occ_mode in ("none", "learned", "hard"):
+    arms = (("none", False), ("learned", False), ("hard", False),
+            ("learned+hm", True))
+    for arm, horizon in arms:
+        occ_mode = arm.split("+")[0]
         scene = build_scene(max_steps=128, occlusion=occ_mode)
         params = scene.init(jax.random.PRNGKey(0))
         params = load_scene(args.model, params)
+        integ = Direct(training=False, horizon_mask=horizon)
         out = []
         for i in range(n):
             p = dict(params)
@@ -66,13 +70,13 @@ def main():
                                location=jnp.asarray(test.light_locs[i:i + 1]))
             cam = NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],
                              focal=test.focal)
-            img, _ = nrt.pathtrace(scene, p, cam, Direct(training=False),
+            img, _ = nrt.pathtrace(scene, p, cam, integ,
                                    size=args.size,
                                    chunk_size=chunk_for(args.size),
                                    background=0.0, key=jax.random.PRNGKey(0))
             out.append(np.asarray(img)[..., :3])
-        renders[occ_mode] = np.stack(out)
-        print(f"{occ_mode}: rendered {n} views, mean {renders[occ_mode].mean():.4f}")
+        renders[arm] = np.stack(out)
+        print(f"{arm}: rendered {n} views, mean {renders[arm].mean():.4f}")
 
     gt = np.stack([np.asarray(im)[..., :3] for im in test.images])
     report = {}
@@ -94,6 +98,9 @@ def main():
           f"best frame {d.max():+.2f}, worst {d.min():+.2f}")
     dh = per_frame["learned"] - per_frame["hard"]
     print(f"learned - hard: avg {dh.mean():+.2f} dB")
+    dm = per_frame["learned+hm"] - per_frame["learned"]
+    print(f"horizon mask on top of learned: avg {dm.mean():+.2f} dB "
+          f"(per-frame {np.round(dm, 2).tolist()})")
 
     # image strip of the frame where occlusion matters most
     k = int(np.argmax(d))
