@@ -22,6 +22,13 @@ def main():
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--kind", type=str, default="bunny")
+    ap.add_argument("--mesh", type=str, default=None,
+                    choices=[None, "knot", "ico", "gear", "blocks"],
+                    help="use a TRIANGLE-MESH GT (make_mesh_dataset kinds) "
+                         "with the bright variety material instead of the "
+                         "procedural SDF blobs — the reference-scale DTU "
+                         "protocol target (VERDICT r2 item 4)")
+    ap.add_argument("--obj-scale", type=float, default=1.0)
     ap.add_argument("--light-scale", type=float, default=3.0)
     ap.set_defaults(size=64)
     args = ap.parse_args()
@@ -43,15 +50,31 @@ def main():
     os.makedirs(os.path.join(args.out, "image"), exist_ok=True)
     os.makedirs(os.path.join(args.out, "mask"), exist_ok=True)
 
-    scene = nrt.Scene(
-        shape=procedural_shape(args.kind),
-        bsdf=ComposeSpatialVarying(
-            [Diffuse((0.8, 0.3, 0.2)), Diffuse((0.2, 0.3, 0.8))],
-            sp_var_fn=SkipConnMLP(in_size=3, out=2, num_layers=2,
-                                  hidden_size=32, freqs=8, sigma=8.0)),
-        lights=PointLights(location=(0.3, 0.6, 0.6),
-                           scale=args.light_scale),
-        occlusion="hard")
+    rig = None
+    if args.mesh:
+        from make_mesh_dataset import build_gt_scene
+        scene = build_gt_scene(args.mesh, light_scale=args.light_scale,
+                               occlusion="hard", obj_scale=args.obj_scale,
+                               material="variety")
+        # static 3-light ring about the y-up orbit axis at elev 35 (the
+        # same fill-shadow rig as the nerf generator, rotated to y-up):
+        # a single hard lamp leaves the median object pixel at 0, the
+        # saturation-collapse regime (RESULTS.md)
+        el = math.radians(35.0)
+        rig = [1.6 * np.asarray([math.cos(el) * math.sin(a),
+                                 math.sin(el),
+                                 math.cos(el) * math.cos(a)], np.float32)
+               for a in np.linspace(0.0, 2.0 * math.pi, 3, endpoint=False)]
+    else:
+        scene = nrt.Scene(
+            shape=procedural_shape(args.kind),
+            bsdf=ComposeSpatialVarying(
+                [Diffuse((0.8, 0.3, 0.2)), Diffuse((0.2, 0.3, 0.8))],
+                sp_var_fn=SkipConnMLP(in_size=3, out=2, num_layers=2,
+                                      hidden_size=32, freqs=8, sigma=8.0)),
+            lights=PointLights(location=(0.3, 0.6, 0.6),
+                               scale=args.light_scale),
+            occlusion="hard")
     params = scene.init(jax.random.PRNGKey(7))
 
     # intrinsics in SOURCE pixel units (DTUCamera scales by src_size/size)
@@ -95,11 +118,25 @@ def main():
                             np.pad(K, ((0, 1), (0, 1)))[None]
                             + np.diag([0.0, 0, 0, 1.0])[None]),
                         src_size=jnp.asarray([src_w, src_h]))
-        img, _ = nrt.pathtrace(scene, params, cam,
-                               Mask(Direct(training=False)), size=size,
-                               chunk_size=size, background=0.0,
-                               key=jax.random.PRNGKey(i))
-        arr = np.clip(np.asarray(img), 0, 1)
+        def one(loc=None):
+            p = params
+            if loc is not None:
+                p = dict(params)
+                p["lights"] = dict(p["lights"],
+                                   location=jnp.atleast_2d(jnp.asarray(loc)))
+            img, _ = nrt.pathtrace(scene, p, cam,
+                                   Mask(Direct(training=False)), size=size,
+                                   chunk_size=size, background=0.0,
+                                   key=jax.random.PRNGKey(i))
+            return np.asarray(img)
+
+        if rig is None:
+            arr = one()
+        else:
+            arr = np.array(one(rig[0]))
+            for loc in rig[1:]:
+                arr[..., :3] += one(loc)[..., :3]
+        arr = np.clip(arr, 0, 1)
         Image.fromarray((arr[..., :3] * 255).astype(np.uint8)).save(
             os.path.join(args.out, "image", f"{i:06}.png"))
         Image.fromarray((arr[..., 3] * 255).astype(np.uint8)).save(
