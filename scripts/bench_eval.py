@@ -31,15 +31,18 @@ r, t = look_at_view_transform(dist=2.0, elev=10.0, azim=20.0)
 cam = FoVPerspectiveCamera(R=r, T=t)
 integ = Direct(training=False)
 
-scene_exit = scene.replace(shape=SDF(
+# the package default flipped to past-light-exit=True in r3; the parity
+# arm pins the reference's keep-marching shadow semantics for comparison
+scene_parity = scene.replace(shape=SDF(
     SphereSDF(n=128), max_steps=64, throughput_steps=128,
-    shadow_past_light_exit=True))
+    shadow_past_light_exit=False))
 
-for mode, chunk in [("scan128", 128), ("scan256", 256), ("loop128", 128),
-                    ("scan128+shadow_exit", 128)]:
+imgs = {}
+default_scene = scene
+for mode, chunk in [("scan128(default)", 128), ("scan256", 256),
+                    ("loop128", 128), ("scan128+parity_shadow", 128)]:
     scan = mode.startswith("scan")
-    if mode.endswith("shadow_exit"):
-        scene = scene_exit
+    scene = scene_parity if mode.endswith("parity_shadow") else default_scene
     # warmup/compile
     img, _ = nrt.pathtrace(scene, params, cam, integ, size=256,
                            chunk_size=chunk, bundle_size=1, background=0.0,
@@ -54,4 +57,10 @@ for mode, chunk in [("scan128", 128), ("scan256", 256), ("loop128", 128),
                                scan_tiles=scan)
         float(np.asarray(img).sum())      # host sync
     dt = (time.perf_counter() - t0) / n
+    imgs[mode] = np.asarray(img)
     print(f"{mode}: {dt*1e3:.1f} ms  ({256*256/dt/1e3:.0f}k rays/s)")
+
+# result-identity: the default shadow early-exit must not change pixels
+delta = float(np.abs(imgs["scan128(default)"]
+                     - imgs["scan128+parity_shadow"]).max())
+print(f"default vs parity-shadow image max|delta|: {delta:.3e}")

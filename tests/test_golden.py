@@ -40,12 +40,42 @@ def render(bsdf, integrator=None):
     return np.asarray(img)
 
 
+def render_sdf_shadow(shadow_past_light_exit=True):
+    from neural_raytracing_tpu.nn import SkipConnMLP
+    from neural_raytracing_tpu.shapes import SDF, SphereSDF
+    mlp = SkipConnMLP(in_size=3, out=1, num_layers=2, hidden_size=32,
+                      freqs=8, activation="softplus", init="uniform")
+    shape = SDF(SphereSDF(n=8, mlp=mlp), max_steps=24, throughput_steps=16,
+                shadow_past_light_exit=shadow_past_light_exit)
+    scene = nrt.Scene(shape=shape, bsdf=Diffuse(),
+                      lights=PointLights(location=(1.5, 1.0, 1.5),
+                                         scale=50.0),
+                      occlusion="hard")
+    params = scene.init(jax.random.PRNGKey(0))
+    r, t = look_at_view_transform(dist=2.0, elev=10.0, azim=30.0)
+    cam = FoVPerspectiveCamera(R=r, T=t)
+    img, _ = nrt.pathtrace(scene, params, cam, Direct(training=False),
+                           size=SIZE, chunk_size=SIZE, bundle_size=1,
+                           background=0.0, key=jax.random.PRNGKey(1),
+                           with_noise=False)
+    return np.asarray(img)
+
+
 CASES = {
     "sphere_diffuse": lambda: render(Diffuse()),
     "sphere_phong": lambda: render(Phong()),
     "sphere_conductor": lambda: render(Conductor()),
     "sphere_normals": lambda: render(Diffuse(), Debug()),
+    "sdf_hard_shadow": render_sdf_shadow,
 }
+
+
+def test_shadow_exit_default_matches_reference_parity():
+    """The r3 default (past-light shadow early exit) must be
+    image-identical to the reference's keep-marching semantics."""
+    a = render_sdf_shadow(True)
+    b = render_sdf_shadow(False)
+    np.testing.assert_array_equal(a, b)
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
@@ -62,8 +92,14 @@ def test_golden(name):
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+    if len(sys.argv) > 1 and sys.argv[1] in ("regen", "regen-missing"):
+        # goldens are CPU-rendered (the suite runs on the forced CPU mesh;
+        # TPU numerics differ at bf16 matmul tolerance)
+        jax.config.update("jax_platforms", "cpu")
         os.makedirs(GOLDEN_DIR, exist_ok=True)
         for name, fn in CASES.items():
-            np.save(os.path.join(GOLDEN_DIR, f"{name}.npy"), fn())
+            path = os.path.join(GOLDEN_DIR, f"{name}.npy")
+            if sys.argv[1] == "regen-missing" and os.path.exists(path):
+                continue
+            np.save(path, fn())
             print("wrote", name)
