@@ -133,7 +133,7 @@ def _make_sdf_eval(mlp: SkipConnMLP, k_smooth: float, refs,
 def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
                         epsilon: float, n_weights: int,
                         compute_dtype=jnp.float32, omega: float = 1.0,
-                        stable_min: bool = False):
+                        stable_min: bool = False, bounded: bool = False):
     # state lives in the OUTPUT refs (Mosaic rejects vector-carried
     # scf loops); the early exit is a pl.when skip of the whole body once
     # every lane in the block is resolved — semantically identical to the
@@ -145,9 +145,16 @@ def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
     relaxed = omega > 1.0
 
     def kernel(*refs):
-        maxt_ref = refs[0]                       # SMEM scalar
-        ro_ref, rd_ref = refs[1], refs[2]
-        w_refs = refs[3:3 + n_weights]
+        if bounded:
+            # per-ray [start, max] interval rows replace the SMEM scalar
+            # (march_bound: rays begin at the bounding-sphere entry and
+            # freeze past their own exit)
+            ro_ref, rd_ref, t0_ref, mt_ref = refs[:4]
+            w_refs = refs[4:4 + n_weights]
+        else:
+            maxt_ref = refs[0]                   # SMEM scalar
+            ro_ref, rd_ref = refs[1], refs[2]
+            w_refs = refs[3:3 + n_weights]
         if relaxed:
             depth_ref, hit_ref = refs[-5], refs[-4]
             prev_ref, slen_ref, om_ref = refs[-3], refs[-2], refs[-1]
@@ -158,9 +165,12 @@ def _build_march_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
 
         ro = ro_ref[:]
         rd = rd_ref[:]
-        max_t = maxt_ref[0, 0]
+        max_t = mt_ref[:] if bounded else maxt_ref[0, 0]
 
-        depth_ref[:] = jnp.zeros_like(depth_ref)
+        if bounded:
+            depth_ref[:] = t0_ref[:]
+        else:
+            depth_ref[:] = jnp.zeros_like(depth_ref)
         hit_ref[:] = jnp.zeros_like(hit_ref)
         if relaxed:
             prev_ref[:] = jnp.zeros_like(prev_ref)
@@ -351,8 +361,13 @@ def _specs(block_rows, weights, n_scalars=1):
 def fused_march(module, params, r_o, r_d, max_t, *, max_steps: int,
                 epsilon: float, block_rows: int = 512,
                 compute_dtype=jnp.float32, omega: float = 1.0,
-                interpret: bool = False):
-    """Whole-march kernel. Returns (depths [...], hit [...]) — no grads."""
+                interpret: bool = False, t_start=None):
+    """Whole-march kernel. Returns (depths [...], hit [...]) — no grads.
+
+    ``t_start`` (optional, per-ray): bounded mode — the march begins at
+    ``t_start`` and ``max_t`` is per-ray (SDF.march_bound interval clip);
+    rays whose interval is empty (start >= max) resolve on entry.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -361,16 +376,32 @@ def fused_march(module, params, r_o, r_d, max_t, *, max_steps: int,
     flat_o, flat_d, n, n_pad = _pad_rays(r_o, r_d, block_rows)
     weights = (_sphere_weight_arrays(params)
                + _mlp_weight_arrays(params["shift"], compute_dtype))
-    maxt = lax.stop_gradient(jnp.asarray(max_t, jnp.float32)).reshape(1, 1)
+    bounded = t_start is not None
 
     scratch = []
     if omega > 1.0:
         scratch = [pltpu.VMEM((block_rows, 1), jnp.float32)] * 3
-    row, in_specs = _specs(block_rows, weights)
+    if bounded:
+        row, in_specs = _specs(block_rows, weights, n_scalars=0)
+        in_specs = in_specs[:2] + [row(1), row(1)] + in_specs[2:]
+        t0 = lax.stop_gradient(
+            jnp.broadcast_to(jnp.asarray(t_start, jnp.float32), batches))
+        mt = lax.stop_gradient(
+            jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), batches))
+        # padded lanes: empty interval -> resolved immediately
+        flat_t0 = jnp.pad(t0.reshape(-1, 1), ((0, n_pad - n), (0, 0)))
+        flat_mt = jnp.pad(mt.reshape(-1, 1), ((0, n_pad - n), (0, 0)))
+        inputs = [flat_o, flat_d, flat_t0, flat_mt]
+    else:
+        row, in_specs = _specs(block_rows, weights)
+        maxt = lax.stop_gradient(
+            jnp.asarray(max_t, jnp.float32)).reshape(1, 1)
+        inputs = [maxt, flat_o, flat_d]
     depths, hit = pl.pallas_call(
         _build_march_kernel(module.shift, module.k, max_steps, epsilon,
                             len(weights), compute_dtype, omega,
-                            stable_min=getattr(module, "stable_min", False)),
+                            stable_min=getattr(module, "stable_min", False),
+                            bounded=bounded),
         grid=(n_pad // block_rows,),
         in_specs=in_specs,
         out_specs=[row(1), row(1)],
@@ -378,7 +409,7 @@ def fused_march(module, params, r_o, r_d, max_t, *, max_steps: int,
                    jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(maxt, flat_o, flat_d, *weights)
+    )(*inputs, *weights)
     return (depths[:n, 0].reshape(batches),
             hit[:n, 0].reshape(batches) > 0.5)
 

@@ -212,7 +212,8 @@ class SDF:
                  warp: Optional[Callable] = None,
                  fused_loops: str = "auto", march_dtype=None,
                  omega: float = 1.0, shadow_past_light_exit: bool = True,
-                 throughput_mode: str = "full"):
+                 throughput_mode: str = "full",
+                 march_bound: Optional[float] = None):
         self.module = sdf_module
         self.epsilon = epsilon
         self.max_steps = max_steps
@@ -254,6 +255,16 @@ class SDF:
         # single largest block of the train step. Opt-in variant.
         assert throughput_mode in ("full", "half_res")
         self.throughput_mode = throughput_mode
+        # opt-in eval accelerator: clip the primary march to the ray's
+        # intersection with the origin-centered bounding sphere of this
+        # radius — rays missing the bound skip the march entirely, and
+        # surviving rays start at the sphere entry instead of t=0.  On
+        # scenes whose geometry lies inside the bound this is
+        # image-identical (verified per-scene; see bench_eval) while the
+        # reference semantics march every ray from 0 toward max_t=10 —
+        # ~38 plateau-limited steps for every miss ray on trained fields.
+        # None (default) = exact reference parity.
+        self.march_bound = march_bound
 
     def _fused_loop_state(self):
         """-> (use_fused_kernels, interpret) for this SDF's module."""
@@ -281,13 +292,18 @@ class SDF:
                   fused_loops=self.fused_loops,
                   march_dtype=self.march_dtype, omega=self.omega,
                   shadow_past_light_exit=self.shadow_past_light_exit,
-                  throughput_mode=self.throughput_mode)
+                  throughput_mode=self.throughput_mode,
+                  march_bound=self.march_bound)
         return out
 
     # ---- marching ----------------------------------------------------------
 
-    def _march(self, params, r_o, r_d, max_t):
-        """No-grad sphere trace. Returns (depths [...], hit mask [...])."""
+    def _march(self, params, r_o, r_d, max_t, t_start=None):
+        """No-grad sphere trace. Returns (depths [...], hit mask [...]).
+
+        ``t_start`` (per-ray, optional): bounded mode — march the
+        ``[t_start, max_t]`` interval only (see ``march_bound``).
+        """
         use_fused, interpret = self._fused_loop_state()
         if use_fused:
             from ..kernels import fused_march as fm
@@ -295,9 +311,14 @@ class SDF:
                 self.module, params, r_o, r_d, max_t,
                 max_steps=self.max_steps, epsilon=self.epsilon,
                 omega=self.omega, compute_dtype=self.march_dtype,
-                interpret=interpret)
+                interpret=interpret, t_start=t_start)
         batch = r_o.shape[:-1]
-        depths = jnp.zeros(batch, jnp.float32)
+        if t_start is None:
+            depths = jnp.zeros(batch, jnp.float32)
+        else:
+            depths = jnp.broadcast_to(
+                jnp.asarray(t_start, jnp.float32), batch)
+        max_t = jnp.broadcast_to(jnp.asarray(max_t, jnp.float32), batch)
         remaining = jnp.ones(batch, bool)
         hit = jnp.zeros(batch, bool)
 
@@ -442,7 +463,20 @@ class SDF:
     def intersect(self, params, rays, key=None, max_t: float = 10.0,
                   primary: bool = True, active=None):
         r_o, r_d = rays[..., :3], rays[..., 3:]
-        depths, hit = self._march(params, r_o, r_d, max_t)
+        if self.march_bound is not None:
+            # clip the march to the origin-centered bounding sphere: rays
+            # that miss it get an empty interval and resolve instantly
+            b = jnp.sum(r_o * r_d, axis=-1)
+            c = jnp.sum(r_o * r_o, axis=-1) - self.march_bound ** 2
+            disc = b * b - c
+            s = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = jnp.maximum(-b - s, 0.0)
+            t1 = jnp.where(disc > 0.0, -b + s, 0.0)
+            max_t_eff = jnp.minimum(jnp.asarray(max_t, jnp.float32), t1)
+            depths, hit = self._march(params, r_o, r_d, max_t_eff,
+                                      t_start=jnp.minimum(t0, max_t_eff))
+        else:
+            depths, hit = self._march(params, r_o, r_d, max_t)
         p = r_o + depths[..., None] * r_d
 
         throughput = None

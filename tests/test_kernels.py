@@ -473,3 +473,58 @@ class TestStableMin:
         p = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
         np.testing.assert_allclose(np.asarray(fused(params, p)),
                                    np.asarray(plain(params, p)), atol=1e-5)
+
+
+class TestMarchBound:
+    """Opt-in bounding-sphere march clip: fused == generic, and on scenes
+    inside the bound the hits/depths match the unbounded march."""
+
+    def _scene(self, **kw):
+        from neural_raytracing_tpu.shapes import SDF, SphereSDF
+        mlp = SkipConnMLP(in_size=3, out=1, num_layers=2, hidden_size=32,
+                          freqs=8, activation="softplus", init="uniform")
+        module = SphereSDF(n=8, mlp=mlp)
+        return SDF(module, max_steps=24, throughput_steps=8, **kw), module
+
+    def _rays(self, n=96):
+        r_o = jnp.zeros((n, 3)).at[:, 2].set(2.0)
+        d = jax.random.normal(jax.random.PRNGKey(3), (n, 3)) * 0.25
+        r_d = jnp.asarray([0.0, 0.0, -1.0]) + d
+        r_d = r_d / jnp.linalg.norm(r_d, axis=-1, keepdims=True)
+        return jnp.concatenate([r_o, r_d], axis=-1)
+
+    def test_bounded_matches_unbounded_inside_bound(self):
+        # the random-init SphereSDF lives well inside radius 1.2
+        plain, module = self._scene(fused_loops="off")
+        bounded, _ = self._scene(fused_loops="off", march_bound=1.2)
+        params = module.init(jax.random.PRNGKey(0))
+        rays = self._rays()
+        it_a, hit_a = plain.intersect(params, rays, key=None)
+        it_b, hit_b = bounded.intersect(params, rays, key=None)
+        np.testing.assert_array_equal(np.asarray(hit_a), np.asarray(hit_b))
+        # hit depths agree (miss depths legitimately differ)
+        ha = np.asarray(it_a.t)[np.asarray(hit_a)]
+        hb = np.asarray(it_b.t)[np.asarray(hit_a)]
+        np.testing.assert_allclose(ha, hb, atol=1e-5)
+
+    def test_fused_bounded_matches_generic_bounded(self):
+        gen, module = self._scene(fused_loops="off", march_bound=1.2)
+        fused, _ = self._scene(fused_loops="force", march_bound=1.2)
+        params = module.init(jax.random.PRNGKey(0))
+        rays = self._rays()
+        it_a, hit_a = gen.intersect(params, rays, key=None)
+        it_b, hit_b = fused.intersect(params, rays, key=None)
+        np.testing.assert_array_equal(np.asarray(hit_a), np.asarray(hit_b))
+        np.testing.assert_allclose(np.asarray(it_a.t), np.asarray(it_b.t),
+                                   atol=1e-5)
+
+    def test_rays_missing_bound_resolve_as_misses(self):
+        gen, module = self._scene(fused_loops="off", march_bound=0.5)
+        params = module.init(jax.random.PRNGKey(0))
+        # rays pointing AWAY from the origin: never intersect the bound
+        n = 16
+        r_o = jnp.zeros((n, 3)).at[:, 2].set(2.0)
+        r_d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3))
+        rays = jnp.concatenate([r_o, r_d], axis=-1)
+        it, hit = gen.intersect(params, rays, key=None)
+        assert not np.asarray(hit).any()

@@ -124,9 +124,19 @@ class TestDataParallel:
                                        atol=1e-5, rtol=1e-4)
 
     def test_dryrun_multichip(self):
+        import os
         sys.path.insert(0, "/root/repo")
         import __graft_entry__ as g
-        g.dryrun_multichip(8)
+
+        # the driver's dryrun defaults to the FULL flagship config (~5 min
+        # on the CPU mesh — exercised by the driver itself each round);
+        # the suite smoke keeps the tiny scene to stay inside the test
+        # budget while still covering the bootstrap + sharded-step path
+        os.environ["NRT_DRYRUN_SMALL"] = "1"
+        try:
+            g.dryrun_multichip(8)
+        finally:
+            os.environ.pop("NRT_DRYRUN_SMALL", None)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
