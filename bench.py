@@ -76,13 +76,17 @@ def bench_jax(steps: int, warmup: int = 2) -> float:
     for i in range(warmup):
         state, aux = step(state, camera, uv, exp, mask,
                           jax.random.PRNGKey(i))
-    jax.block_until_ready(aux["loss"])
+    float(np.asarray(aux["loss"]))
 
+    # the end-of-loop sync is a HOST TRANSFER of the chained loss, not
+    # block_until_ready: through the axon tunnel block_until_ready can
+    # return before the device work drains (CLAUDE.md), inflating rays/s;
+    # np.asarray cannot complete until the dependency chain has executed
     t0 = time.perf_counter()
     for i in range(steps):
         state, aux = step(state, camera, uv, exp, mask,
                           jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(aux["loss"])
+    float(np.asarray(aux["loss"]))
     dt = time.perf_counter() - t0
     return steps * RAYS_PER_STEP / dt
 

@@ -83,12 +83,14 @@ def main():
         for i in range(args.warmup):
             state, aux = step(state, camera, uv, exp, mask,
                               jax.random.PRNGKey(i))
-        jax.block_until_ready(aux["loss"])
+        float(np.asarray(aux["loss"]))
+        # host-transfer sync: block_until_ready returns early through the
+        # axon tunnel (measured: 3.58 "ms" for a 25 ms step)
         t0 = time.perf_counter()
         for i in range(args.steps):
             state, aux = step(state, camera, uv, exp, mask,
                               jax.random.PRNGKey(100 + i))
-        jax.block_until_ready(aux["loss"])
+        float(np.asarray(aux["loss"]))
         dt = (time.perf_counter() - t0) / args.steps
         return dt
 
@@ -144,12 +146,12 @@ def main():
     l = jnp.float32(0.0)
     for i in range(args.warmup):
         l = fwd(state.params, jax.random.PRNGKey(i), l)
-    jax.block_until_ready(l)
+    float(np.asarray(l))
     t0 = time.perf_counter()
     for i in range(args.steps):
         l = fwd(state.params, jax.random.fold_in(jax.random.PRNGKey(7), i),
                 l)
-    jax.block_until_ready(l)
+    float(np.asarray(l))
     dt = (time.perf_counter() - t0) / args.steps
     results["fwd_only"] = dt
     print(f"{'fwd_only':>12}: {dt * 1e3:7.2f} ms")
