@@ -289,6 +289,11 @@ def main():
                     help="camera elevation range (nerf/nerv formats); "
                          "upper-hemisphere-only (e.g. 8 55) avoids "
                          "pitch-black underside views on rig-lit GT")
+    ap.add_argument("--light-noise", type=float, default=0.6,
+                    help="nerv format: spread of the per-frame light "
+                         "around the camera direction (handheld-flash "
+                         "style); smaller = fewer backlit/near-black "
+                         "frames")
     ap.add_argument("--n-lights", type=int, default=1,
                     help="static point lights for the nerf format (a ring "
                          "at elev 35; each frame sums one render per "
@@ -427,7 +432,7 @@ def main():
                 # backlit — ~40% of frames were pitch black, and training
                 # on them collapses to black (RESULTS.md)
                 d = c2w[:3, 3] / np.linalg.norm(c2w[:3, 3]) \
-                    + 0.6 * rng.normal(size=3)
+                    + args.light_noise * rng.normal(size=3)
                 light = 1.3 * d / np.linalg.norm(d)
                 img = render(cam, light, scale)
                 Image.fromarray(
