@@ -47,9 +47,9 @@ def evaluate(scene: Scene, params: dict, make_camera: Callable,
                            training=False, squeeze_first=True)
         got = np.clip(np.asarray(img)[..., :3], 0.0, 1.0)
         exp = np.asarray(exp_imgs[i])[..., :3]
-        if tone_map:
-            got = got / (1.0 + got)
-            exp = exp / (1.0 + exp)
+        # reference protocol (test_nerv_ptl, training_utils.py:808-841):
+        # L1/L2/PSNR on CLAMPED LINEAR images; only the set-level SSIM /
+        # MS-SSIM inputs are tone-mapped (x/(1+x)) below
         if masks is not None:
             m = np.asarray(masks[i])[..., None]
             got = got * m
@@ -66,8 +66,13 @@ def evaluate(scene: Scene, params: dict, make_camera: Callable,
             save_fn(i, got)
         log_fn(f"view {i:3d} L1 {l1:.5f} L2 {l2:.6f} PSNR {psnrs[-1]:.3f}")
 
-    got_n = jnp.transpose(jnp.asarray(np.stack(got_all)), (0, 3, 1, 2))
-    exp_n = jnp.transpose(jnp.asarray(np.stack(exp_all)), (0, 3, 1, 2))
+    got_n = np.stack(got_all)
+    exp_n = np.stack(exp_all)
+    if tone_map:
+        got_n = got_n / (1.0 + got_n)
+        exp_n = exp_n / (1.0 + exp_n)
+    got_n = jnp.transpose(jnp.asarray(got_n), (0, 3, 1, 2))
+    exp_n = jnp.transpose(jnp.asarray(exp_n), (0, 3, 1, 2))
     out = {
         "l1": float(np.mean(l1s)),
         "l2": float(np.mean(l2s)),
