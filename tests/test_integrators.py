@@ -275,3 +275,39 @@ class TestDirectMIS:
         v1, _, _ = Direct(bsdf_samples=2, training=False).sample(
             scene, params, rays, key=jax.random.PRNGKey(1))
         np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-6)
+
+
+def test_direct_horizon_mask_zeroes_backlit():
+    """Direct(horizon_mask=True): emitter contributions with the light
+    below the local horizon (wo.z <= 0) are zeroed; default (parity with
+    the reference's unclamped learned lobes) leaves them nonzero."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import NeuralBSDF
+    from neural_raytracing_tpu.integrators import Direct
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.nn import SkipConnMLP
+    from neural_raytracing_tpu.shapes import Sphere
+
+    scene = nrt.Scene(
+        shape=Sphere((0.0, 0.0, 0.0), 1.0),
+        bsdf=NeuralBSDF(mlp=SkipConnMLP(in_size=3, out=3, num_layers=2,
+                                        hidden_size=16, freqs=4)),
+        # light BEHIND the sphere relative to the camera-facing surface
+        lights=PointLights(location=(0.0, 0.0, -4.0), scale=100.0))
+    params = scene.init(jax.random.PRNGKey(0))
+    # head-on ray hits the +z pole; its normal faces +z, light at -z
+    rays = jnp.asarray([[0.0, 0.0, 2.0, 0.0, 0.0, -1.0]])
+
+    val_ref, active, _ = Direct(training=False).sample(
+        scene, params, rays, key=jax.random.PRNGKey(1))
+    val_hm, _, _ = Direct(training=False, horizon_mask=True).sample(
+        scene, params, rays, key=jax.random.PRNGKey(1))
+    assert bool(np.asarray(active)[0])
+    # the unclamped learned lobe glows on the backlit surface
+    assert float(np.abs(np.asarray(val_ref)).sum()) > 0.0
+    # the horizon mask zeroes it
+    np.testing.assert_array_equal(np.asarray(val_hm), 0.0)
