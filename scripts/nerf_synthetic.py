@@ -15,7 +15,8 @@ from _common import (base_parser, chunk_for, force_cpu_if_requested,
                      metrics_path_for, nan_policy, save_image)
 
 
-def build_scene(max_steps=64, surface="spheres", stable_init=False):
+def build_scene(max_steps=64, surface="spheres", stable_init=False,
+                stable_min=False):
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
     from neural_raytracing_tpu.kernels import FusedSkipConnMLP
@@ -26,7 +27,7 @@ def build_scene(max_steps=64, surface="spheres", stable_init=False):
         from neural_raytracing_tpu.nn.hash_encoding import HashSDF
         module = HashSDF()
     else:
-        module = SphereSDF(n=128)
+        module = SphereSDF(n=128, stable_min=stable_min)
     sp_var_fn = None
     if stable_init:
         # zero-out head: collapse-resistant start (weights all 0.5);
@@ -60,6 +61,10 @@ def main():
                     help="resume params + optimizer state + step")
     ap.add_argument("--stable-init", action="store_true",
                     help="zero-out weight-net head (collapse-resistant)")
+    ap.add_argument("--stable-min", action="store_true",
+                    help="exact logsumexp smooth-min (no 0.288 saturation "
+                         "plateau; marchable far field — deliberate "
+                         "divergence from the reference clamp)")
     ap.add_argument("--weight-reg", type=float, default=0.0,
                     help="weight-diversity regularizer coefficient")
     ap.add_argument("--sat-guard", type=float, default=0.0,
@@ -113,7 +118,8 @@ def main():
     data = load_nerf_synthetic(args.data, args.size, "train")
 
     scene = build_scene(max_steps=64, surface=args.surface,
-                        stable_init=args.stable_init)
+                        stable_init=args.stable_init,
+                        stable_min=args.stable_min)
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
                           "lights": args.light_lr},
                           clip_norm=args.clip_norm)
@@ -217,7 +223,8 @@ def main():
         test = load_nerf_synthetic(args.data, args.size, "test")
         test_scene = build_scene(max_steps=args.test_max_steps,
                                  surface=args.surface,
-                                 stable_init=args.stable_init)
+                                 stable_init=args.stable_init,
+                                 stable_min=args.stable_min)
         results = evaluate(
             test_scene, state.params,
             lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],

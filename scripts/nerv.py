@@ -15,15 +15,16 @@ import numpy as np
 from _common import base_parser, chunk_for, force_cpu_if_requested, nan_policy, save_image
 
 
-def build_scene(max_steps=64, dist=2.2, occlusion="learned"):
+def build_scene(max_steps=64, dist=2.2, occlusion="learned",
+                stable_min=False):
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
     from neural_raytracing_tpu.lights import PointLights
     from neural_raytracing_tpu.shapes import SDF, SphereSDF
 
     return nrt.Scene(
-        shape=SDF(SphereSDF(n=128), max_steps=max_steps,
-                  throughput_steps=128, dist=dist),
+        shape=SDF(SphereSDF(n=128, stable_min=stable_min),
+                  max_steps=max_steps, throughput_steps=128, dist=dist),
         bsdf=ComposeSpatialVarying(
             [NeuralBSDF(activation="softplus") for _ in range(7)]),
         lights=PointLights(scale=100.0),
@@ -41,6 +42,9 @@ def main():
     ap.add_argument("--bsdf-lr", type=float, default=4e-5)
     ap.add_argument("--light-lr", type=float, default=4e-5)
     ap.add_argument("--dist", type=float, default=2.2)
+    ap.add_argument("--stable-min", action="store_true",
+                    help="exact logsumexp smooth-min (marchable far "
+                         "field; divergence from the reference clamp)")
     ap.set_defaults(size=200, crop_size=64, n_views=3)
     args = ap.parse_args()
     force_cpu_if_requested(args)
@@ -58,7 +62,7 @@ def main():
     name = args.data.rstrip("/").split("/")[-1]
     data = load_nerv(args.data, args.size, "train")
 
-    scene = build_scene(dist=args.dist)
+    scene = build_scene(dist=args.dist, stable_min=args.stable_min)
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
                           "lights": args.light_lr, "occ": args.bsdf_lr},
                          clip_norm=args.clip_norm)
@@ -107,7 +111,8 @@ def main():
         for shadows, tag in (("learned", "soft"), ("hard", "hard")):
             print(f"NeRV test with {tag} shadows")
             test_scene = build_scene(max_steps=128, dist=args.dist,
-                                     occlusion=shadows)
+                                     occlusion=shadows,
+                                     stable_min=args.stable_min)
             evaluate(
                 test_scene, state.params,
                 lambda i: NeRFCamera(
