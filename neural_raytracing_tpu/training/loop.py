@@ -127,6 +127,108 @@ def make_train_step(scene: Scene, integrator, optimizer, donate: bool = True,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def device_dataset(images, masks, cam_to_worlds, crop_size: int,
+                   light_locs=None, max_mask_px: Optional[int] = None):
+    """Pack a train split for the ON-DEVICE data path (see
+    :func:`make_device_data_step`).
+
+    Precomputes per-view object-mask pixel coordinates (padded to a fixed
+    length) so mask-centered crop sampling (rand_uv_mask semantics) runs
+    inside the jitted step.  Everything is uploaded once; per-step host
+    traffic drops to (state, key).
+    """
+    images = jnp.asarray(np.asarray(images)[..., :3], jnp.float32)
+    masks = jnp.asarray(np.asarray(masks), jnp.float32)
+    v = images.shape[0]
+    px, counts = [], []
+    cap = 0
+    host_masks = np.asarray(masks)
+    coords = []
+    for i in range(v):
+        ys, xs = np.nonzero(host_masks[i] > 0.5)
+        coords.append((ys, xs))
+        cap = max(cap, len(ys))
+    cap = max(1, cap if max_mask_px is None else min(cap, max_mask_px))
+    for ys, xs in coords:
+        n = min(len(ys), cap)
+        arr = np.zeros((cap, 2), np.int32)
+        if n:
+            sel = np.linspace(0, len(ys) - 1, n).astype(np.int64)
+            arr[:n, 0] = ys[sel]
+            arr[:n, 1] = xs[sel]
+        px.append(arr)
+        counts.append(max(n, 1))
+    data = {
+        "images": images,
+        "masks": masks,
+        "c2ws": jnp.asarray(np.asarray(cam_to_worlds), jnp.float32),
+        "mask_px": jnp.asarray(np.stack(px)),
+        "mask_counts": jnp.asarray(np.asarray(counts, np.int32)),
+    }
+    if light_locs is not None:
+        data["light_locs"] = jnp.asarray(np.asarray(light_locs), jnp.float32)
+    return jax.device_put(data)
+
+
+def make_device_data_step(scene: Scene, integrator, optimizer,
+                          camera_builder: Callable, *, n_views: int,
+                          size: int, crop_size: int, mask_crops: bool = True,
+                          with_light_locs: bool = False,
+                          donate: bool = True, **kwargs):
+    """A jitted ``(state, data, key) -> (state, aux)`` step whose view
+    selection, crop sampling, GT gather, and camera construction all run
+    ON DEVICE.
+
+    TPU-first data path: the host loop otherwise re-slices and re-ships
+    ~n_views*crop² of GT plus a camera pytree through the (high-latency)
+    interconnect every step.  ``data`` comes from :func:`device_dataset`;
+    ``camera_builder(c2w_batch) -> camera pytree`` is traced inside the
+    step (e.g. ``lambda c: NeRFCamera(cam_to_world=c, focal=focal)``).
+    View selection is uniform (the host path's loss-proportional
+    LossSampler needs host feedback); crops are mask-centered on the
+    first view (rand_uv_mask semantics) or uniform.
+    """
+    step = build_step_fn(scene, integrator, optimizer, size=size,
+                         crop_size=crop_size, **kwargs)
+    half = crop_size // 2
+
+    def dstep(state: TrainState, data, key):
+        kv, ku, skey = jax.random.split(key, 3)
+        v = data["images"].shape[0]
+        idxs = jax.random.randint(kv, (n_views,), 0, v)
+        if mask_crops:
+            cnt = data["mask_counts"][idxs[0]]
+            j = jax.random.randint(ku, (), 0, cnt)
+            yx = data["mask_px"][idxs[0], j]
+            u = jnp.clip(yx[0] - half, 0, size - crop_size)
+            w = jnp.clip(yx[1] - half, 0, size - crop_size)
+        else:
+            u = jax.random.randint(ku, (), 0, size - crop_size + 1)
+            w = jax.random.randint(jax.random.fold_in(ku, 1), (), 0,
+                                   size - crop_size + 1)
+
+        def crop_img(vi):
+            return jax.lax.dynamic_slice(data["images"][vi], (u, w, 0),
+                                         (crop_size, crop_size, 3))
+
+        def crop_mask(vi):
+            return jax.lax.dynamic_slice(data["masks"][vi], (u, w),
+                                         (crop_size, crop_size))
+
+        exp = jax.vmap(crop_img)(idxs)
+        mask = jax.vmap(crop_mask)(idxs)
+        camera = camera_builder(data["c2ws"][idxs])
+        if with_light_locs:
+            params = dict(state.params)
+            params["lights"] = dict(params["lights"],
+                                    location=data["light_locs"][idxs])
+            state = state._replace(params=params)
+        return step(state, camera, (u.astype(jnp.float32),
+                                    w.astype(jnp.float32)), exp, mask, skey)
+
+    return jax.jit(dstep, donate_argnums=(0,) if donate else ())
+
+
 def init_train_state(scene: Scene, optimizer, key) -> TrainState:
     params = scene.init(key)
     return TrainState(params, optimizer.init(params), jnp.int32(0))
@@ -166,7 +268,8 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
           metrics: Optional[list] = None,
           mesh=None, seed: int = 0, step_fn=None,
           uv_select: Optional[Callable] = None,
-          nan_policy: str = "raise"):
+          nan_policy: str = "raise", device_data=None,
+          camera_builder: Optional[Callable] = None):
     """Generic host training loop shared by all dataset harnesses.
 
     ``make_camera(idxs) -> camera pytree`` builds the view batch;
@@ -185,6 +288,60 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
     """
     assert nan_policy in ("raise", "skip"), nan_policy
     skip_nan = nan_policy == "skip"
+    if device_data is not None:
+        # ON-DEVICE data path: view selection / crop sampling / GT gather /
+        # camera construction run inside the jitted step — per-step host
+        # traffic is (state, key) only.  ``device_data`` comes from
+        # :func:`device_dataset`; ``camera_builder`` traces the camera.
+        assert camera_builder is not None
+        dstep = make_device_data_step(
+            scene, integrator, optimizer, camera_builder, n_views=n_views,
+            size=size, crop_size=crop_size,
+            mask_crops=uv_select is not None,
+            with_light_locs="light_locs" in device_data,
+            bundle_size=bundle_size, mask_weight=mask_weight,
+            tone_mapping=tone_mapping, with_ssim=with_ssim,
+            extra_loss=extra_loss, skip_nan_updates=skip_nan, donate=False)
+        losses = []
+        t0 = time.time()
+        rays_per_step = n_views * crop_size * crop_size * bundle_size
+        pending = None
+        consecutive_bad = 0
+        for i in range(iters):
+            key, skey = jax.random.split(key)
+            state, aux = dstep(state, device_data, skey)
+            if pending is not None:
+                loss = float(pending)
+                if not np.isfinite(loss):
+                    if not skip_nan:
+                        raise FloatingPointError(
+                            f"Unexpected NaN loss at step {i - 1}")
+                    consecutive_bad += 1
+                    if consecutive_bad >= 200:
+                        raise FloatingPointError(
+                            f"200 consecutive non-finite losses at {i - 1}")
+                else:
+                    consecutive_bad = 0
+                    losses.append(loss)
+                    if log_every and ((i - 1) % log_every) == 0:
+                        rps = (i * rays_per_step) / max(time.time() - t0,
+                                                        1e-9)
+                        log_fn(f"step {i - 1:6d} loss {loss:.5f} "
+                               f"rays/s {rps:,.0f}")
+                    if metrics is not None:
+                        metrics.append({
+                            "step": i - 1, "loss": loss,
+                            "rays_per_sec": (i * rays_per_step) / max(
+                                time.time() - t0, 1e-9)})
+            pending = aux["loss"]
+            if save_fn is not None and ckpt_freq and (i % ckpt_freq) == 0 \
+                    and i:
+                save_fn(state, i)
+            if valid_fn is not None and valid_freq and (i % valid_freq) == 0:
+                valid_fn(state, i)
+        if pending is not None:
+            losses.append(float(pending))
+        return state, losses
     if step_fn is None:
         if mesh is not None:
             from ..parallel import make_parallel_train_step, replicate

@@ -96,6 +96,11 @@ def main():
                          "scenes like lego but starves training on "
                          "low-coverage GT: uniform 80^2 crops of a ~11%-"
                          "coverage 256^2 object collapse to black)")
+    ap.add_argument("--device-data", action="store_true",
+                    help="ON-DEVICE data path: upload the split once and "
+                         "sample views/crops inside the jitted step — no "
+                         "per-step GT/camera transfers (view selection is "
+                         "uniform instead of loss-proportional)")
     ap.add_argument("--valid-freq", type=int, default=2500,
                     help="full-frame validation render + PSNR every N steps "
                          "(0 disables); curves land in the metrics file")
@@ -195,6 +200,15 @@ def main():
             for m in metrics:
                 f.write(json.dumps(m) + "\n")
 
+    device_data = camera_builder = None
+    if args.device_data:
+        assert not args.data_parallel, "--device-data is single-chip"
+        from neural_raytracing_tpu.training import device_dataset
+        device_data = device_dataset(data.images, data.masks, c2ws,
+                                     args.crop_size)
+        camera_builder = lambda c: NeRFCamera(cam_to_world=c,
+                                              focal=data.focal)
+
     if args.iters > 0:
         try:
             state, _ = train(
@@ -205,6 +219,7 @@ def main():
                 uv_select=rand_uv_mask if args.mask_crops else None,
                 n_views=args.n_views, log_every=args.log_every, mesh=mesh,
                 extra_loss=extra_loss, metrics=metrics,
+                device_data=device_data, camera_builder=camera_builder,
                 valid_fn=valid_fn if args.valid_freq else None,
                 valid_freq=args.valid_freq,
                 save_fn=lambda st, i: (
