@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--bsdf-lr", type=float, default=4e-5)
     ap.add_argument("--light-lr", type=float, default=4e-5)
     ap.add_argument("--dist", type=float, default=2.2)
+    ap.add_argument("--device-data", action="store_true",
+                    help="on-device data path (views/crops/cameras AND "
+                         "per-frame light locations sampled inside the "
+                         "jitted step)")
     ap.add_argument("--stable-min", action="store_true",
                     help="exact logsumexp smooth-min (marchable far "
                          "field; divergence from the reference clamp)")
@@ -83,6 +87,15 @@ def main():
             location=jnp.asarray(data.light_locs[np.asarray(idxs)]))
         return params
 
+    device_data = camera_builder = None
+    if args.device_data:
+        from neural_raytracing_tpu.training import device_dataset
+        device_data = device_dataset(data.images, data.masks,
+                                     data.cam_to_worlds, args.crop_size,
+                                     light_locs=data.light_locs)
+        camera_builder = lambda c: NeRFCamera(cam_to_world=c,
+                                              focal=data.focal)
+
     if args.iters > 0:
         state, _ = train(
             scene, Direct(training=True), opt, state, make_camera,
@@ -94,6 +107,7 @@ def main():
             uv_select=rand_uv_mask,
             n_views=args.n_views, tone_mapping=True,
             light_update=light_update, log_every=args.log_every,
+            device_data=device_data, camera_builder=camera_builder,
             save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
             ckpt_freq=max(args.iters // 5 - 1, 1))
         save_scene(model_dir, state.params, step=args.iters)

@@ -299,3 +299,50 @@ def test_device_dataset_crop_gather_matches_host():
         for j in range(cnt[v]):
             y, x = px[v, j]
             assert masks[v, y, x] > 0.5
+
+
+def test_device_data_path_with_light_locs():
+    """Device path injects per-frame light locations inside the step
+    (NeRV-style): trains finite with PointLights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import Diffuse
+    from neural_raytracing_tpu.cameras import NeRFCamera
+    from neural_raytracing_tpu.integrators import Direct
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.nn import SkipConnMLP
+    from neural_raytracing_tpu.shapes import SDF, SphereSDF
+    from neural_raytracing_tpu.training import (
+        device_dataset, init_train_state, make_optimizer, rand_uv_mask,
+        train,
+    )
+
+    sdf = SDF(SphereSDF(n=8, mlp=SkipConnMLP(
+        in_size=3, out=1, num_layers=2, hidden_size=16, freqs=4,
+        activation="softplus", init="zeros")),
+        max_steps=8, throughput_steps=8)
+    scene = nrt.Scene(shape=sdf, bsdf=Diffuse(),
+                      lights=PointLights(scale=50.0))
+    opt = make_optimizer({"shape": 1e-3, "bsdf": 1e-3, "lights": 1e-3})
+    state = init_train_state(scene, opt, jax.random.PRNGKey(0))
+
+    n_views, size, crop = 3, 32, 16
+    from neural_raytracing_tpu.cameras import nerf_c2w
+    c2ws = np.stack([nerf_c2w(20.0, a, dist=2.0)[:3, :4]
+                     for a in (0.0, 90.0, 180.0)]).astype(np.float32)
+    imgs = 0.2 * np.ones((n_views, size, size, 3), np.float32)
+    masks = np.ones((n_views, size, size), np.float32)
+    lights = np.asarray([[0, 1, 3], [1, 0, 3], [0, -1, 3]], np.float32)
+
+    data = device_dataset(imgs, masks, c2ws, crop, light_locs=lights)
+    focal = 30.0
+    state2, losses = train(
+        scene, Direct(training=True), opt, state, None, imgs, masks,
+        jax.random.PRNGKey(1), size=size, crop_size=crop, iters=4,
+        n_views=n_views, log_every=0, uv_select=rand_uv_mask,
+        tone_mapping=True, device_data=data,
+        camera_builder=lambda c: NeRFCamera(cam_to_world=c, focal=focal))
+    assert all(np.isfinite(losses)) and len(losses) >= 3
