@@ -53,7 +53,6 @@ def main():
     from neural_raytracing_tpu.training import (
         init_train_state, make_optimizer, make_train_step,
     )
-    from neural_raytracing_tpu.training.loop import build_step_fn
 
     class SGNormalsSDF(SDF):
         """Ablation: sever the second-order path through the normals."""
@@ -96,10 +95,10 @@ def main():
 
     results = {}
 
-    def run(tag, scene, **kw):
+    def run(tag, scene, donate=False, **kw):
         state = init_train_state(scene, opt, jax.random.PRNGKey(0))
         step = make_train_step(scene, Direct(training=True), opt, size=SIZE,
-                               crop_size=CROP, bundle_size=1, donate=False,
+                               crop_size=CROP, bundle_size=1, donate=donate,
                                **kw)
         dt = timeit(step, state)
         results[tag] = dt
@@ -110,14 +109,11 @@ def main():
     run("no_ssim", scene_with(), with_ssim=False)
     run("no_eik", scene_with(), extra_loss=lambda it, g, e, m: 0.0)
     run("sg_normals", scene_with(SGNormalsSDF))
+    run("donate", scene_with(), donate=True)
 
     # forward-only: loss value without grad/update
     scene = scene_with()
     state = init_train_state(scene, opt, jax.random.PRNGKey(0))
-    raw = build_step_fn(scene, Direct(training=True), opt, size=SIZE,
-                        crop_size=CROP, bundle_size=1)
-
-    # reuse the internal loss_fn via a fresh value-only jit
     from neural_raytracing_tpu.integrators import Direct as D
     from neural_raytracing_tpu.ops.losses import masked_loss
     from neural_raytracing_tpu.training.loop import (
