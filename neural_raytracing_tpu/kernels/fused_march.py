@@ -281,7 +281,12 @@ def _build_shadow_kernel(mlp: SkipConnMLP, k_smooth: float, max_steps: int,
 
 def _build_minscan_kernel(mlp: SkipConnMLP, k_smooth: float, steps: int,
                           n_weights: int, compute_dtype=jnp.float32,
-                          unroll: int = 4, stable_min: bool = False):
+                          unroll: int = None, stable_min: bool = False):
+    if unroll is None:
+        # experiment knob: larger unroll = bigger matmuls per iteration
+        # (4 -> 2048-row at block 512); 4 measured best in r2, kept tunable
+        import os
+        unroll = int(os.environ.get("NRT_MINSCAN_UNROLL", "4"))
     # the scan's evaluations are independent, so ``unroll`` steps are
     # stacked into one (unroll*B)-row MLP evaluation per iteration —
     # larger matmuls pipeline much better on the MXU than 512-row ones.
