@@ -38,6 +38,18 @@ def bench_jax(steps: int, warmup: int = 2) -> float:
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: the remote compile service has been
+    # measured at 10-28 min for fresh programs; cached reruns start in
+    # seconds (same knobs as scripts/_common.enable_compile_cache)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("NRT_COMPILE_CACHE",
+                           os.path.expanduser("~/.nrt_jax_cache")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
     from neural_raytracing_tpu.cameras import (
