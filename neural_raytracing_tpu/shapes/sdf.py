@@ -471,7 +471,10 @@ class SDF:
             disc = b * b - c
             s = jnp.sqrt(jnp.maximum(disc, 0.0))
             t0 = jnp.maximum(-b - s, 0.0)
-            t1 = jnp.where(disc > 0.0, -b + s, 0.0)
+            # clamp the exit root to >= 0: a bounding sphere entirely behind
+            # the origin (disc>0 but both roots negative) must collapse to the
+            # empty interval [0, 0], not produce negative miss depths
+            t1 = jnp.maximum(jnp.where(disc > 0.0, -b + s, 0.0), 0.0)
             max_t_eff = jnp.minimum(jnp.asarray(max_t, jnp.float32), t1)
             depths, hit = self._march(params, r_o, r_d, max_t_eff,
                                       t_start=jnp.minimum(t0, max_t_eff))

@@ -46,7 +46,8 @@ def evaluate(scene: Scene, params: dict, make_camera: Callable,
                            background=0.0, key=jax.random.fold_in(key, i),
                            training=False, squeeze_first=True)
         got = np.clip(np.asarray(img)[..., :3], 0.0, 1.0)
-        exp = np.asarray(exp_imgs[i])[..., :3]
+        # reference clamps GT too (training_utils.py:808 exp.clamp(0,1))
+        exp = np.clip(np.asarray(exp_imgs[i])[..., :3], 0.0, 1.0)
         # reference protocol (test_nerv_ptl, training_utils.py:808-841):
         # L1/L2/PSNR on CLAMPED LINEAR images; only the set-level SSIM /
         # MS-SSIM inputs are tone-mapped (x/(1+x)) below

@@ -294,6 +294,13 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
         # traffic is (state, key) only.  ``device_data`` comes from
         # :func:`device_dataset`; ``camera_builder`` traces the camera.
         assert camera_builder is not None
+        if uv_select is not None and uv_select is not rand_uv_mask:
+            # the device path implements only the built-in mask-centered
+            # sampling (rand_uv_mask); silently swapping in a different crop
+            # distribution would diverge from the host path without warning
+            raise ValueError(
+                "device_data supports uv_select in (None, rand_uv_mask) only; "
+                "use the host path for custom crop samplers")
         dstep = make_device_data_step(
             scene, integrator, optimizer, camera_builder, n_views=n_views,
             size=size, crop_size=crop_size,
