@@ -26,8 +26,8 @@ import numpy as np
 
 # workload config (mirrors the nerf_synthetic training shapes:
 # crop 64^2 x 4 views = 16384 rays/step, SDF march 32 steps)
-N_VIEWS = 4
-CROP = 64
+N_VIEWS = int(os.environ.get("NRT_BENCH_VIEWS", "4"))
+CROP = int(os.environ.get("NRT_BENCH_CROP", "64"))
 SIZE = 256
 MARCH_STEPS = 32
 THROUGHPUT_STEPS = 64
@@ -62,12 +62,18 @@ def bench_jax(steps: int, warmup: int = 2) -> float:
         init_train_state, make_optimizer, make_train_step,
     )
 
-    # experiment knob (RESULTS.md variants); the parity default is "full"
+    # experiment knobs (RESULTS.md variants); the parity default is "full"
+    # march with no bound/overrelaxation and the reference clamped smooth-min
     tp_mode = os.environ.get("NRT_BENCH_THROUGHPUT_MODE", "full")
+    mb = os.environ.get("NRT_BENCH_MARCH_BOUND")
+    omega = float(os.environ.get("NRT_BENCH_OMEGA", "1.0"))
+    stable_min = os.environ.get("NRT_BENCH_STABLE_MIN", "0") == "1"
     scene = nrt.Scene(
-        shape=SDF(SphereSDF(n=128), max_steps=MARCH_STEPS,
+        shape=SDF(SphereSDF(n=128, stable_min=stable_min),
+                  max_steps=MARCH_STEPS,
                   throughput_steps=THROUGHPUT_STEPS,
-                  throughput_mode=tp_mode),
+                  throughput_mode=tp_mode, omega=omega,
+                  march_bound=float(mb) if mb else None),
         bsdf=ComposeSpatialVarying(
             [NeuralBSDF(activation="softplus") for _ in range(8)]),
         lights=LightField())

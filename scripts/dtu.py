@@ -10,7 +10,8 @@ BSDF + learned LightField; every-10th-view test split; crop 96.
 
 import numpy as np
 
-from _common import base_parser, chunk_for, force_cpu_if_requested, nan_policy, save_image
+from _common import (base_parser, chunk_for, force_cpu_if_requested,
+                     metrics_path_for, nan_policy, save_image)
 
 
 def build_scene(max_steps=64, n_bases=6):
@@ -69,22 +70,41 @@ def main():
         return DTUCamera(pose=data.poses[idxs],
                          intrinsic=data.intrinsics[idxs], src_size=src)
 
+    # per-step scalar curve, persisted as JSONL (the r3 dtu run had no
+    # curve at HEAD — VERDICT r3 missing #5)
+    import json
+
+    metrics: list = []
+    metrics_path = metrics_path_for(args.outputs, f"dtu_{name}")
+
+    def flush_metrics():
+        import os
+        os.makedirs(args.outputs, exist_ok=True)
+        with open(metrics_path, "w") as f:
+            for m in metrics:
+                f.write(json.dumps(m) + "\n")
+
     if args.iters > 0:
-        state, _ = train(
-            scene, Direct(training=True), opt, state,
-            lambda idxs: make_camera(train_idx[np.asarray(idxs)]),
-            data.images[train_idx], data.masks[train_idx],
-            jax.random.PRNGKey(args.seed + 1), size=args.size,
-            crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
-            uv_select=rand_uv_mask,
-            n_views=args.n_views, log_every=args.log_every,
-            save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
-            ckpt_freq=max(args.iters // 5 - 1, 1))
+        try:
+            state, _ = train(
+                scene, Direct(training=True), opt, state,
+                lambda idxs: make_camera(train_idx[np.asarray(idxs)]),
+                data.images[train_idx], data.masks[train_idx],
+                jax.random.PRNGKey(args.seed + 1), size=args.size,
+                crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
+                uv_select=rand_uv_mask,
+                n_views=args.n_views, log_every=args.log_every,
+                metrics=metrics,
+                save_fn=lambda st, i: (save_scene(model_dir, st.params,
+                                                  step=i), flush_metrics()),
+                ckpt_freq=max(args.iters // 5 - 1, 1))
+        finally:
+            flush_metrics()
         save_scene(model_dir, state.params, step=args.iters)
 
     if not args.skip_test:
         test_scene = build_scene(max_steps=128)
-        evaluate(
+        results = evaluate(
             test_scene, state.params,
             lambda i: make_camera([test_idx[i]]),
             data.images[test_idx], Direct(training=False),
@@ -92,6 +112,8 @@ def main():
             masks=data.masks[test_idx],
             save_fn=lambda i, im: save_image(
                 f"{args.outputs}/dtu_{name}_test_{i:02}.png", im))
+        metrics.append({"step": int(args.iters), "test": results})
+        flush_metrics()
 
 
 if __name__ == "__main__":

@@ -49,6 +49,24 @@ def main():
     ap.add_argument("--stable-min", action="store_true",
                     help="exact logsumexp smooth-min (marchable far "
                          "field; divergence from the reference clamp)")
+    ap.add_argument("--no-calibrate-exposure", action="store_true",
+                    help="disable the one-shot light-scale exposure "
+                         "calibration at init.  PointLights radiance is "
+                         "scale*normalize(intensity)/falloff (reference "
+                         "lights.py:89-110) — the NORMALIZED intensity "
+                         "cannot absorb a scale error and AdamW moves the "
+                         "scalar scale/falloff params by only ~lr*steps "
+                         "(~1.0 over 25k at 4e-5), so a miscalibrated "
+                         "initial scale persists for the whole run "
+                         "(measured: scale moved 100 -> 99.98 over 25k "
+                         "while sitting 8.7x over the GT rig; the BSDF "
+                         "absorbed it to a residual ~1.9x over-brightness "
+                         "costing ~4 dB — outputs/nerv_brightness_probe."
+                         "json).  The reference picks this constant per "
+                         "dataset by hand (its nerv.py uses a different "
+                         "scale than colocate.py); calibrating it from "
+                         "two training frames is the data-driven "
+                         "equivalent.")
     ap.set_defaults(size=200, crop_size=64, n_views=3)
     args = ap.parse_args()
     force_cpu_if_requested(args)
@@ -95,6 +113,35 @@ def main():
                                      light_locs=data.light_locs)
         camera_builder = lambda c: NeRFCamera(cam_to_world=c,
                                               focal=data.focal)
+
+    if (args.iters > 0 and not args.no_calibrate_exposure
+            and not args.load):
+        # one-shot exposure init: render two training frames at the init
+        # params and scale the light so masked render brightness matches
+        # the GT's (see --no-calibrate-exposure help for why training
+        # cannot recover this on its own)
+        import neural_raytracing_tpu as nrt
+        rsum = gsum = 0.0
+        for i in (0, len(data.images) // 2):
+            p = light_update(state.params, None, [i])
+            img, _ = nrt.pathtrace(
+                scene, p, make_camera([i]), Direct(training=False),
+                size=args.size, chunk_size=chunk_for(args.size),
+                background=0.0, key=jax.random.PRNGKey(2))
+            im = np.asarray(img)[..., :3]
+            im = im.reshape(im.shape[-3:])
+            m = np.asarray(data.masks[i]) > 0.5
+            rsum += float(im[m].mean())
+            gsum += float(np.asarray(data.images[i])[..., :3][m].mean())
+        ratio = gsum / max(rsum, 1e-9)
+        lights_p = dict(state.params["lights"])
+        lights_p["scale"] = state.params["lights"]["scale"] * ratio
+        params = dict(state.params)
+        params["lights"] = lights_p
+        state = state._replace(params=params)
+        print(f"exposure calibration: render {rsum / 2.0:.4f} vs GT "
+              f"{gsum / 2.0:.4f} -> scale x{ratio:.4f} = "
+              f"{float(lights_p['scale']):.2f}")
 
     if args.iters > 0:
         state, _ = train(
