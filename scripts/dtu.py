@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--surface-lr", type=float, default=8e-5)
     ap.add_argument("--bsdf-lr", type=float, default=8e-5)  # dtu.py:124
     ap.add_argument("--light-lr", type=float, default=8e-5)
+    ap.add_argument("--device-data", action="store_true",
+                    help="on-device data path (views/crops AND the "
+                         "DTU pose+intrinsic camera pair sampled inside "
+                         "the jitted step; ~1.5x on host-constrained VMs)")
     ap.add_argument("--test-every", type=int, default=10,
                     help="every k-th view is held out (dtu.py:115-121)")
     ap.set_defaults(size=200, crop_size=96, n_views=3)
@@ -84,6 +88,22 @@ def main():
             for m in metrics:
                 f.write(json.dumps(m) + "\n")
 
+    device_data = camera_builder = None
+    if args.device_data:
+        assert not args.data_parallel, "--device-data is single-chip"
+        from neural_raytracing_tpu.training import device_dataset
+        # DTU cameras are a (pose, intrinsic) PAIR per view; pack both
+        # into one [V, 2, 4, 4] array so the generic device path can
+        # gather them with the same per-view indexing as a c2w
+        packed = np.stack([data.poses[train_idx],
+                           data.intrinsics[train_idx]], axis=1)
+        device_data = device_dataset(data.images[train_idx],
+                                     data.masks[train_idx], packed,
+                                     args.crop_size)
+        camera_builder = lambda c: DTUCamera(pose=c[:, 0],
+                                             intrinsic=c[:, 1],
+                                             src_size=src)
+
     if args.iters > 0:
         try:
             state, _ = train(
@@ -95,6 +115,7 @@ def main():
                 uv_select=rand_uv_mask,
                 n_views=args.n_views, log_every=args.log_every,
                 metrics=metrics,
+                device_data=device_data, camera_builder=camera_builder,
                 save_fn=lambda st, i: (save_scene(model_dir, st.params,
                                                   step=i), flush_metrics()),
                 ckpt_freq=max(args.iters // 5 - 1, 1))

@@ -346,3 +346,60 @@ def test_device_data_path_with_light_locs():
         tone_mapping=True, device_data=data,
         camera_builder=lambda c: NeRFCamera(cam_to_world=c, focal=focal))
     assert all(np.isfinite(losses)) and len(losses) >= 3
+
+
+def test_device_data_path_dtu_packed_cameras():
+    """DTU cameras are a (pose, intrinsic) pair per view; scripts/dtu.py
+    packs both into one [V, 2, 4, 4] array so the generic device path can
+    gather them like a c2w.  Trains finite with params moving."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import Diffuse
+    from neural_raytracing_tpu.cameras import DTUCamera
+    from neural_raytracing_tpu.integrators import Direct
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.nn import SkipConnMLP
+    from neural_raytracing_tpu.shapes import SDF, SphereSDF
+    from neural_raytracing_tpu.training import (
+        device_dataset, init_train_state, make_optimizer, rand_uv_mask,
+        train,
+    )
+
+    sdf = SDF(SphereSDF(n=8, mlp=SkipConnMLP(
+        in_size=3, out=1, num_layers=2, hidden_size=16, freqs=4,
+        activation="softplus", init="zeros")),
+        max_steps=8, throughput_steps=8)
+    scene = nrt.Scene(shape=sdf, bsdf=Diffuse(),
+                      lights=PointLights(location=(0.0, 1.0, 4.0),
+                                         scale=50.0))
+    opt = make_optimizer({"shape": 1e-3, "bsdf": 1e-3, "lights": 1e-3})
+    state = init_train_state(scene, opt, jax.random.PRNGKey(0))
+
+    n_views, size, crop = 3, 32, 16
+    poses = np.stack([np.eye(4, dtype=np.float32)] * n_views)
+    for i in range(n_views):
+        poses[i, 2, 3] = 2.0 + 0.1 * i     # back the camera off along +z
+    intr = np.stack([np.eye(4, dtype=np.float32)] * n_views)
+    intr[:, 0, 0] = intr[:, 1, 1] = 60.0   # focal px
+    intr[:, 0, 2] = intr[:, 1, 2] = size / 2.0
+    packed = np.stack([poses, intr], axis=1)          # [V, 2, 4, 4]
+    imgs = 0.25 * np.ones((n_views, size, size, 3), np.float32)
+    masks = np.ones((n_views, size, size), np.float32)
+    src = np.asarray([size, size], np.float32)
+
+    data = device_dataset(imgs, masks, packed, crop)
+    state2, losses = train(
+        scene, Direct(training=True), opt, state, None, imgs, masks,
+        jax.random.PRNGKey(1), size=size, crop_size=crop, iters=4,
+        n_views=n_views, log_every=0, uv_select=rand_uv_mask,
+        device_data=data,
+        camera_builder=lambda c: DTUCamera(pose=c[:, 0], intrinsic=c[:, 1],
+                                           src_size=src))
+    assert all(np.isfinite(losses)) and len(losses) >= 3
+    delta = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(state2.params)))
+    assert delta > 0.0
