@@ -10,3 +10,4 @@ from .checkpoint import (
     save_train_state, load_train_state,
 )
 from .eval import evaluate
+from .calibrate import calibrate_exposure

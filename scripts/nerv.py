@@ -116,32 +116,13 @@ def main():
 
     if (args.iters > 0 and not args.no_calibrate_exposure
             and not args.load):
-        # one-shot exposure init: render two training frames at the init
-        # params and scale the light so masked render brightness matches
-        # the GT's (see --no-calibrate-exposure help for why training
-        # cannot recover this on its own)
-        import neural_raytracing_tpu as nrt
-        rsum = gsum = 0.0
-        for i in (0, len(data.images) // 2):
-            p = light_update(state.params, None, [i])
-            img, _ = nrt.pathtrace(
-                scene, p, make_camera([i]), Direct(training=False),
-                size=args.size, chunk_size=chunk_for(args.size),
-                background=0.0, key=jax.random.PRNGKey(2))
-            im = np.asarray(img)[..., :3]
-            im = im.reshape(im.shape[-3:])
-            m = np.asarray(data.masks[i]) > 0.5
-            rsum += float(im[m].mean())
-            gsum += float(np.asarray(data.images[i])[..., :3][m].mean())
-        ratio = gsum / max(rsum, 1e-9)
-        lights_p = dict(state.params["lights"])
-        lights_p["scale"] = state.params["lights"]["scale"] * ratio
-        params = dict(state.params)
-        params["lights"] = lights_p
-        state = state._replace(params=params)
-        print(f"exposure calibration: render {rsum / 2.0:.4f} vs GT "
-              f"{gsum / 2.0:.4f} -> scale x{ratio:.4f} = "
-              f"{float(lights_p['scale']):.2f}")
+        # one-shot exposure init: see training/calibrate.py for why AdamW
+        # cannot recover a bad init light scale on its own
+        from neural_raytracing_tpu.training import calibrate_exposure
+        state, _ = calibrate_exposure(
+            scene, state, make_camera, data.images, data.masks,
+            size=args.size, chunk_size=chunk_for(args.size),
+            light_update=light_update)
 
     if args.iters > 0:
         state, _ = train(

@@ -403,3 +403,67 @@ def test_device_data_path_dtu_packed_cameras():
         jax.tree_util.tree_leaves(state.params),
         jax.tree_util.tree_leaves(state2.params)))
     assert delta > 0.0
+
+
+def test_calibrate_exposure_recovers_light_scale():
+    """A 10x-wrong init light scale is recovered by the one-shot exposure
+    calibration (round-4 NeRV fix): radiance is linear in the scale, so
+    matching masked render brightness to GT recovers the true scale."""
+    import jax
+    import numpy as np
+
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import Diffuse
+    from neural_raytracing_tpu.cameras import (
+        FoVPerspectiveCamera, look_at_view_transform,
+    )
+    from neural_raytracing_tpu.integrators import Direct
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.shapes import Sphere
+    from neural_raytracing_tpu.training import (
+        calibrate_exposure, init_train_state, make_optimizer,
+    )
+
+    size = 24
+    n_views = 2
+    r, t = look_at_view_transform(dist=2.5, elev=np.asarray([10.0, 30.0]),
+                                  azim=np.asarray([0.0, 40.0]))
+    cams = [FoVPerspectiveCamera(R=r[i:i + 1], T=t[i:i + 1])
+            for i in range(n_views)]
+    make_camera = lambda idxs: cams[idxs[0]]
+
+    def build(scale):
+        return nrt.Scene(shape=Sphere(radius=1.0), bsdf=Diffuse(),
+                         lights=PointLights(location=(0.0, 1.0, 4.0),
+                                            scale=scale))
+
+    opt = make_optimizer({"bsdf": 1e-3, "lights": 1e-3})
+    true_scale = 30.0
+    gt_state = init_train_state(build(true_scale), opt, jax.random.PRNGKey(0))
+    imgs, masks = [], []
+    for i in range(n_views):
+        img, _ = nrt.pathtrace(build(true_scale), gt_state.params, cams[i],
+                               Direct(training=False), size=size,
+                               chunk_size=size, background=0.0,
+                               key=jax.random.PRNGKey(2))
+        im = np.asarray(img)[..., :3].reshape(size, size, 3)
+        imgs.append(im)
+        masks.append((im.sum(-1) > 0).astype(np.float32))
+
+    bad = build(true_scale * 10.0)
+    state = init_train_state(bad, opt, jax.random.PRNGKey(0))
+    state2, ratio = calibrate_exposure(
+        bad, state, make_camera, imgs, masks, size=size, chunk_size=size)
+    got_scale = float(state2.params["lights"]["scale"])
+    assert abs(got_scale - true_scale) / true_scale < 0.05, got_scale
+    assert abs(ratio - 0.1) < 0.02
+
+    # a lights model without a "scale" leaf is returned unchanged
+    from neural_raytracing_tpu.lights import LightField
+    lf_scene = nrt.Scene(shape=Sphere(radius=1.0), bsdf=Diffuse(),
+                         lights=LightField())
+    lf_state = init_train_state(lf_scene, opt, jax.random.PRNGKey(0))
+    lf_state2, r2 = calibrate_exposure(
+        lf_scene, lf_state, make_camera, imgs, masks, size=size,
+        chunk_size=size)
+    assert r2 == 1.0 and lf_state2.params is lf_state.params
