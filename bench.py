@@ -228,7 +228,19 @@ def main():
                          "bench_baseline.json")
     baseline = None
     if not args.no_cache and os.path.exists(cache):
-        baseline = json.load(open(cache)).get("torch_cpu_rays_per_sec")
+        cached = json.load(open(cache))
+        # the cached torch number is only comparable at the workload shape
+        # it was measured at — per-ray cost is batch-dependent; a bench run
+        # under NRT_BENCH_VIEWS/CROP overrides must not reuse it
+        if (cached.get("rays_per_step", RAYS_PER_STEP) == RAYS_PER_STEP
+                and cached.get("march_steps", MARCH_STEPS) == MARCH_STEPS
+                and cached.get("throughput_steps",
+                               THROUGHPUT_STEPS) == THROUGHPUT_STEPS):
+            baseline = cached.get("torch_cpu_rays_per_sec")
+        else:
+            print(f"# baseline cache is for rays_per_step="
+                  f"{cached.get('rays_per_step')} — ignored at current "
+                  f"config (rays_per_step={RAYS_PER_STEP})")
     if args.skip_torch:
         vs = 0.0 if baseline is None else value / baseline
     else:
@@ -236,11 +248,14 @@ def main():
             # one torch-cpu step at equal sample counts (~80 s); cached so
             # subsequent runs skip it
             baseline = bench_torch_cpu(args.torch_steps, warmup=0)
-            with open(cache, "w") as f:
-                json.dump({"torch_cpu_rays_per_sec": baseline,
-                           "rays_per_step": RAYS_PER_STEP,
-                           "march_steps": MARCH_STEPS,
-                           "throughput_steps": THROUGHPUT_STEPS}, f)
+            if not os.path.exists(cache):
+                # never clobber an existing (differently-shaped) cache —
+                # lever-shape baselines are measured ad hoc, not cached
+                with open(cache, "w") as f:
+                    json.dump({"torch_cpu_rays_per_sec": baseline,
+                               "rays_per_step": RAYS_PER_STEP,
+                               "march_steps": MARCH_STEPS,
+                               "throughput_steps": THROUGHPUT_STEPS}, f)
         vs = value / baseline
 
     print(json.dumps({

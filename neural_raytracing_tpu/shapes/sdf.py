@@ -266,6 +266,22 @@ class SDF:
         # None (default) = exact reference parity.
         self.march_bound = march_bound
 
+    def replace(self, **overrides) -> "SDF":
+        """Clone with config fields overridden (cf. ``Scene.replace``).
+
+        Copy-based, so a future constructor field can never silently
+        desynchronize a clone site (e.g. scripts/verify_march_bound.py
+        compares default-vs-bounded configs that must differ ONLY in the
+        overridden fields).
+        """
+        import copy
+        new = copy.copy(self)
+        for k, v in overrides.items():
+            if not hasattr(new, k):
+                raise AttributeError(f"SDF has no config field {k!r}")
+            setattr(new, k, v)
+        return new
+
     def _fused_loop_state(self):
         """-> (use_fused_kernels, interpret) for this SDF's module."""
         if self.fused_loops == "off" or self.warp is not None:

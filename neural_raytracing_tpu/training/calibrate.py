@@ -54,6 +54,7 @@ def calibrate_exposure(scene: Scene, state, make_camera: Callable,
     if views is None:
         views = (0, len(images) // 2)
     rsum = gsum = 0.0
+    n_used = 0
     for i in views:
         p = state.params
         if light_update is not None:
@@ -66,15 +67,25 @@ def calibrate_exposure(scene: Scene, state, make_camera: Callable,
         m = np.asarray(masks[i]) > 0.5
         if not m.any():
             continue
+        n_used += 1
         rsum += float(im[m].mean())
         gsum += float(np.asarray(images[i])[..., :3][m].mean())
-    ratio = gsum / max(rsum, 1e-9)
+    # degenerate measurements must NOT be committed: empty masks / a black
+    # GT would zero the scale; an init render that misses the object in
+    # every probe view (rsum ~ 0) would explode it.  Leave the state alone
+    # and let training proceed from the init scale in those cases.
+    if n_used == 0 or rsum <= 1e-6 or gsum <= 1e-6:
+        log_fn("exposure calibration: degenerate measurement "
+               f"(views used {n_used}, render {rsum:.2e}, GT {gsum:.2e}) "
+               "— leaving light scale unchanged")
+        return state, 1.0
+    ratio = gsum / rsum
     new_lights = dict(lights_params)
     new_lights["scale"] = lights_params["scale"] * ratio
     params = dict(state.params)
     params["lights"] = new_lights
     state = state._replace(params=params)
-    log_fn(f"exposure calibration: render {rsum / max(len(views), 1):.4f} "
-           f"vs GT {gsum / max(len(views), 1):.4f} -> scale x{ratio:.4f} = "
+    log_fn(f"exposure calibration: render {rsum / n_used:.4f} "
+           f"vs GT {gsum / n_used:.4f} -> scale x{ratio:.4f} = "
            f"{float(new_lights['scale']):.2f}")
     return state, ratio

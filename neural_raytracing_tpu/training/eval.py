@@ -46,15 +46,22 @@ def evaluate(scene: Scene, params: dict, make_camera: Callable,
                            background=0.0, key=jax.random.fold_in(key, i),
                            training=False, squeeze_first=True)
         got = np.clip(np.asarray(img)[..., :3], 0.0, 1.0)
-        # reference clamps GT too (training_utils.py:808 exp.clamp(0,1))
-        exp = np.clip(np.asarray(exp_imgs[i])[..., :3], 0.0, 1.0)
-        # reference protocol (test_nerv_ptl, training_utils.py:808-841):
-        # L1/L2/PSNR on CLAMPED LINEAR images; only the set-level SSIM /
-        # MS-SSIM inputs are tone-mapped (x/(1+x)) below
+        exp_raw = np.asarray(exp_imgs[i])[..., :3]
+        # reference protocol: test_nerv_ptl clamps the GT for the per-view
+        # L1/L2/PSNR ONLY (training_utils.py:810 exp_imgs[i].clamp(0,1));
+        # test_nerf (:321-343) never clamps the GT; and BOTH build the
+        # set-level SSIM/MS-SSIM stack from the RAW exp_imgs (:340, :836),
+        # tone-mapping x/(1+x) in the NeRV case — so ``exp_all`` below
+        # carries the unclamped GT
+        exp = np.clip(exp_raw, 0.0, 1.0) if tone_map else exp_raw
+        exp_set = exp_raw
         if masks is not None:
+            # test_dtu (:467-474): got AND exp masked for the per-view
+            # metrics and for the SSIM stack
             m = np.asarray(masks[i])[..., None]
             got = got * m
             exp = exp * m
+            exp_set = exp_set * m
         l1 = float(np.mean(np.abs(got - exp)))
         l2 = float(np.mean((got - exp) ** 2))
         l1s.append(l1)
@@ -62,7 +69,7 @@ def evaluate(scene: Scene, params: dict, make_camera: Callable,
         # clamp: an exactly-zero L2 (e.g. empty crops) would give inf PSNR
         psnrs.append(float(mse2psnr(jnp.asarray(max(l2, 1e-10)))))
         got_all.append(got)
-        exp_all.append(exp)
+        exp_all.append(exp_set)
         if save_fn is not None:
             save_fn(i, got)
         log_fn(f"view {i:3d} L1 {l1:.5f} L2 {l2:.6f} PSNR {psnrs[-1]:.3f}")

@@ -102,6 +102,27 @@ def metrics_path_for(outputs: str, name: str) -> str:
     return path
 
 
+
+def metrics_writer(outputs: str, name: str):
+    """JSONL training-curve writer over a collision-proof path.
+
+    Returns ``(metrics, flush)``: append per-step dicts to ``metrics`` and
+    call ``flush()`` at checkpoints / end of run (rewrites the whole file;
+    curves are small).  One shared implementation so every workload script
+    persists curves the same way (nerf_synthetic / dtu / nerv).
+    """
+    import json
+    path = metrics_path_for(outputs, name)
+    metrics: list = []
+
+    def flush():
+        os.makedirs(outputs, exist_ok=True)
+        with open(path, "w") as f:
+            for m in metrics:
+                f.write(json.dumps(m) + "\n")
+
+    return metrics, flush
+
 def chunk_for(size: int, cap: int = 128) -> int:
     """Largest render tile <= cap that divides ``size`` (pathtrace asserts
     divisibility; keep tiles >= ~100 px where possible — smaller dispatches

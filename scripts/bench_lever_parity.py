@@ -20,6 +20,7 @@ near-parity on scenes inside the bound.
 
 import argparse
 import json
+import os
 
 import numpy as np
 
@@ -143,6 +144,7 @@ def main():
     out["hit_agreement"] = agree
     out["hit_depth_max_abs_diff"] = float(dt.max()) if dt.size else 0.0
     print(json.dumps(out, indent=1))
+    os.makedirs("outputs", exist_ok=True)
     json.dump(out, open(
         f"outputs/lever_parity_{args.lever}.json", "w"), indent=1)
 

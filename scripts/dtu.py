@@ -11,7 +11,7 @@ BSDF + learned LightField; every-10th-view test split; crop 96.
 import numpy as np
 
 from _common import (base_parser, chunk_for, force_cpu_if_requested,
-                     metrics_path_for, nan_policy, save_image)
+                     metrics_writer, nan_policy, save_image)
 
 
 def build_scene(max_steps=64, n_bases=6):
@@ -76,17 +76,7 @@ def main():
 
     # per-step scalar curve, persisted as JSONL (the r3 dtu run had no
     # curve at HEAD — VERDICT r3 missing #5)
-    import json
-
-    metrics: list = []
-    metrics_path = metrics_path_for(args.outputs, f"dtu_{name}")
-
-    def flush_metrics():
-        import os
-        os.makedirs(args.outputs, exist_ok=True)
-        with open(metrics_path, "w") as f:
-            for m in metrics:
-                f.write(json.dumps(m) + "\n")
+    metrics, flush_metrics = metrics_writer(args.outputs, f"dtu_{name}")
 
     device_data = camera_builder = None
     if args.device_data:

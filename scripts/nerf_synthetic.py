@@ -12,7 +12,7 @@ N=6 views/step; march 64 steps train / 256 test; then test-split eval.
 import numpy as np
 
 from _common import (base_parser, chunk_for, force_cpu_if_requested,
-                     metrics_path_for, nan_policy, save_image)
+                     metrics_writer, nan_policy, save_image)
 
 
 def build_scene(max_steps=64, surface="spheres", stable_init=False,
@@ -184,13 +184,11 @@ def main():
 
     # per-step scalars + periodic validation PSNR, persisted as JSONL so
     # convergence (vs early-stop or collapse) is auditable after the run
-    import json
     import math as _math
 
     import neural_raytracing_tpu as nrt
 
-    metrics: list = []
-    metrics_path = metrics_path_for(args.outputs, name)
+    metrics, flush_metrics = metrics_writer(args.outputs, name)
 
     def valid_fn(st, i):
         img, _ = nrt.pathtrace(
@@ -204,12 +202,6 @@ def main():
         metrics.append({"step": int(i), "valid_psnr": psnr})
         save_image(f"{args.outputs}/valid_{name}_{int(i):06}.png", got)
         print(f"valid @ {int(i)}: PSNR {psnr:.2f}")
-
-    def flush_metrics():
-        os.makedirs(args.outputs, exist_ok=True)
-        with open(metrics_path, "w") as f:
-            for m in metrics:
-                f.write(json.dumps(m) + "\n")
 
     device_data = camera_builder = None
     if args.device_data:

@@ -12,7 +12,8 @@ light; learned-occlusion emitter sampling; tone-mapped loss
 
 import numpy as np
 
-from _common import base_parser, chunk_for, force_cpu_if_requested, nan_policy, save_image
+from _common import (base_parser, chunk_for, force_cpu_if_requested,
+                     metrics_writer, nan_policy, save_image)
 
 
 def build_scene(max_steps=64, dist=2.2, occlusion="learned",
@@ -124,6 +125,8 @@ def main():
             size=args.size, chunk_size=chunk_for(args.size),
             light_update=light_update)
 
+    metrics, flush_metrics = metrics_writer(args.outputs, f"nerv_{name}")
+
     if args.iters > 0:
         state, _ = train(
             scene, Direct(training=True), opt, state, make_camera,
@@ -136,9 +139,12 @@ def main():
             n_views=args.n_views, tone_mapping=True,
             light_update=light_update, log_every=args.log_every,
             device_data=device_data, camera_builder=camera_builder,
-            save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
+            metrics=metrics,
+            save_fn=lambda st, i: (save_scene(model_dir, st.params, step=i),
+                                   flush_metrics()),
             ckpt_freq=max(args.iters // 5 - 1, 1))
         save_scene(model_dir, state.params, step=args.iters)
+        flush_metrics()
 
     if not args.skip_test:
         test = load_nerv(args.data, args.size, "test")
@@ -155,7 +161,7 @@ def main():
             test_scene = build_scene(max_steps=128, dist=args.dist,
                                      occlusion=shadows,
                                      stable_min=args.stable_min)
-            evaluate(
+            results = evaluate(
                 test_scene, state.params,
                 lambda i: NeRFCamera(
                     cam_to_world=test.cam_to_worlds[i:i + 1],
@@ -166,6 +172,9 @@ def main():
                 light_update=eval_light_update,
                 save_fn=lambda i, im: save_image(
                     f"{args.outputs}/nerv_{name}_{tag}_{i:03}.png", im))
+            metrics.append({"step": int(args.iters),
+                            "test_" + tag: results})
+        flush_metrics()
 
 
 if __name__ == "__main__":

@@ -21,6 +21,7 @@ Probes:
 
 import argparse
 import json
+import os
 
 import numpy as np
 
@@ -117,6 +118,7 @@ def main():
     print(f"exposure sweep: PSNR@1.0 {psnr_at(1.0):.2f}  best "
           f"{vals[best]:.2f} at s={sweep[best]:.3f}")
 
+    os.makedirs("outputs", exist_ok=True)
     json.dump({
         "learned_light": {"scale": s, "const": c, "linear": l, "square": q,
                           "intensity": inten.tolist()},

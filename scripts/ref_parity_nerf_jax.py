@@ -20,6 +20,20 @@ import numpy as np
 from _common import chunk_for, save_image
 
 
+
+def fresh_path(path):
+    """Collision-proof artifact path: never clobber an existing non-empty
+    file (same policy as _common.metrics_path_for; a test-only re-run with
+    the default tag must not truncate a multi-hour training curve)."""
+    base, ext = os.path.splitext(path)
+    k, p = 0, path
+    while os.path.exists(p) and os.path.getsize(p) > 0:
+        k += 1
+        p = f"{base}-{k}{ext}"
+    if k:
+        print(f"{path} exists; writing to {p}")
+    return p
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data", type=str, required=True)
@@ -57,7 +71,8 @@ def main():
         return NeRFCamera(cam_to_world=c2ws[np.asarray(idxs)],
                           focal=data.focal)
 
-    curve_path = f"../results/ref_parity/curve_{args.tag}.jsonl"
+    curve_path = fresh_path(
+        f"../results/ref_parity/curve_{args.tag}.jsonl")
     t_start = time.time()
     metrics: list = []
 
@@ -97,7 +112,7 @@ def main():
         "avg_l1": results["l1"], "avg_l2": results["l2"],
         "avg_psnr": results["psnr"], "ssim": results["ssim"],
     }
-    out = f"../results/ref_parity/{args.tag}.json"
+    out = fresh_path(f"../results/ref_parity/{args.tag}.json")
     json.dump(result, open(out, "w"), indent=1)
     print(json.dumps(result, indent=1))
     print(f"wrote {out}")

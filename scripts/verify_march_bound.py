@@ -107,14 +107,10 @@ def main():
 
         params = scene.init(jax.random.PRNGKey(0))
         params = load_scene(model_dir, params)
-        sh = scene.shape
-        bounded = scene.replace(shape=SDF(
-            sh.module, epsilon=sh.epsilon, max_steps=sh.max_steps,
-            dist=sh.dist, throughput_steps=sh.throughput_steps,
-            alpha=sh.alpha, warp=sh.warp, fused_loops=sh.fused_loops,
-            march_dtype=sh.march_dtype, omega=sh.omega,
-            shadow_past_light_exit=sh.shadow_past_light_exit,
-            throughput_mode=sh.throughput_mode, march_bound=args.bound))
+        # copy-based clone: the two configs differ ONLY in march_bound,
+        # regardless of what fields SDF grows later
+        bounded = scene.replace(
+            shape=scene.shape.replace(march_bound=args.bound))
 
         row = {"model": model_dir, "family": family, "views": []}
         for i, cam in enumerate(cams):

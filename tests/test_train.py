@@ -467,3 +467,68 @@ def test_calibrate_exposure_recovers_light_scale():
         lf_scene, lf_state, make_camera, imgs, masks, size=size,
         chunk_size=size)
     assert r2 == 1.0 and lf_state2.params is lf_state.params
+
+    # degenerate measurement guard: empty masks must leave the scale alone
+    empty = [np.zeros_like(m) for m in masks]
+    st_deg, r_deg = calibrate_exposure(
+        bad, state, make_camera, imgs, empty, size=size, chunk_size=size)
+    assert r_deg == 1.0
+    assert float(st_deg.params["lights"]["scale"]) == float(
+        state.params["lights"]["scale"])
+
+
+def test_evaluate_gt_clamp_protocol():
+    """GT clamping parity (reference protocols): test_nerv_ptl clamps the
+    GT for the per-view L1/L2/PSNR only (training_utils.py:810), test_nerf
+    never clamps it (:321-343), and BOTH build the set-level SSIM stack
+    from the RAW GT (:340, :836)."""
+    import jax
+    import numpy as np
+
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import Diffuse
+    from neural_raytracing_tpu.cameras import (
+        FoVPerspectiveCamera, look_at_view_transform,
+    )
+    from neural_raytracing_tpu.integrators import Direct
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.ops.ssim import ssim as ssim_fn
+    from neural_raytracing_tpu.shapes import Sphere
+    from neural_raytracing_tpu.training import evaluate
+
+    size = 16
+    r, t = look_at_view_transform(dist=2.5, elev=np.asarray([10.0]),
+                                  azim=np.asarray([0.0]))
+    cam = FoVPerspectiveCamera(R=r, T=t)
+    scene = nrt.Scene(shape=Sphere(radius=1.0), bsdf=Diffuse(),
+                      lights=PointLights(location=(0.0, 1.0, 4.0),
+                                         scale=30.0))
+    params = scene.init(jax.random.PRNGKey(0))
+    img, _ = nrt.pathtrace(scene, params, cam, Direct(training=False),
+                           size=size, chunk_size=size, background=0.0,
+                           key=jax.random.fold_in(jax.random.PRNGKey(0), 0))
+    got = np.clip(np.asarray(img)[..., :3], 0.0, 1.0)
+
+    # HDR ground truth: pixels above 1 discriminate the clamp policies
+    exp = np.full((1, size, size, 3), 2.0, np.float32)
+
+    # NeRV protocol (tone_map=True): per-view L2 vs CLAMPED GT,
+    # set-level SSIM vs tone-mapped RAW GT
+    out_tm = evaluate(scene, params, lambda i: cam, exp,
+                      Direct(training=False), size=size, chunk_size=size,
+                      tone_map=True, log_fn=lambda *a: None)
+    l2_clamped = float(np.mean((got - np.clip(exp[0], 0, 1)) ** 2))
+    assert abs(out_tm["l2"] - l2_clamped) < 1e-5, out_tm["l2"]
+    tm = lambda x: x / (1.0 + x)
+    want_ssim = float(ssim_fn(
+        np.transpose(tm(got)[None], (0, 3, 1, 2)),
+        np.transpose(tm(exp), (0, 3, 1, 2)), data_range=1.0))
+    assert abs(out_tm["ssim"] - want_ssim) < 1e-4, (out_tm["ssim"], want_ssim)
+
+    # test_nerf protocol (tone_map=False): GT unclamped everywhere
+    out_lin = evaluate(scene, params, lambda i: cam, exp,
+                       Direct(training=False), size=size, chunk_size=size,
+                       tone_map=False, log_fn=lambda *a: None)
+    l2_raw = float(np.mean((got - exp[0]) ** 2))
+    assert abs(out_lin["l2"] - l2_raw) < 1e-5, (out_lin["l2"], l2_raw)
+    assert out_lin["l2"] > out_tm["l2"] + 0.5  # the policies truly differ
