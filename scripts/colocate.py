@@ -138,7 +138,8 @@ def main():
             n_views=args.n_views, light_update=light_update,
             extra_loss=extra_loss,
             log_every=args.log_every,
-            save_fn=lambda st, i: save_scene(model_dir, st.params, step=i),
+            save_fn=lambda st, i: save_scene(model_dir, st.params,
+                                             step=int(st.step)),
             ckpt_freq=max(args.iters // 5 - 1, 1))
         save_scene(model_dir, state.params, step=args.iters)
 

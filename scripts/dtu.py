@@ -107,11 +107,12 @@ def main():
                 metrics=metrics,
                 device_data=device_data, camera_builder=camera_builder,
                 save_fn=lambda st, i: (save_scene(model_dir, st.params,
-                                                  step=i), flush_metrics()),
+                                                  step=int(st.step)),
+                                       flush_metrics()),
                 ckpt_freq=max(args.iters // 5 - 1, 1))
         finally:
             flush_metrics()
-        save_scene(model_dir, state.params, step=args.iters)
+        save_scene(model_dir, state.params, step=int(state.step))
 
     if not args.skip_test:
         test_scene = build_scene(max_steps=128)

@@ -226,15 +226,16 @@ def main():
                 valid_fn=valid_fn if args.valid_freq else None,
                 valid_freq=args.valid_freq,
                 save_fn=lambda st, i: (
-                    save_scene(model_dir, st.params, step=i),
-                    save_train_state(state_path, st.params, st.opt_state, i),
+                    save_scene(model_dir, st.params, step=int(st.step)),
+                    save_train_state(state_path, st.params, st.opt_state,
+                                     int(st.step)),
                     flush_metrics()),
                 ckpt_freq=max(args.iters // 5 - 1, 1))
         finally:
             flush_metrics()
-        save_scene(model_dir, state.params, step=args.iters)
+        save_scene(model_dir, state.params, step=int(state.step))
         save_train_state(state_path, state.params, state.opt_state,
-                         args.iters)
+                         int(state.step))
 
     if not args.skip_test:
         print("Running on test set")

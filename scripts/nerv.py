@@ -140,10 +140,11 @@ def main():
             light_update=light_update, log_every=args.log_every,
             device_data=device_data, camera_builder=camera_builder,
             metrics=metrics,
-            save_fn=lambda st, i: (save_scene(model_dir, st.params, step=i),
+            save_fn=lambda st, i: (save_scene(model_dir, st.params,
+                                              step=int(st.step)),
                                    flush_metrics()),
             ckpt_freq=max(args.iters // 5 - 1, 1))
-        save_scene(model_dir, state.params, step=args.iters)
+        save_scene(model_dir, state.params, step=int(state.step))
         flush_metrics()
 
     if not args.skip_test:
