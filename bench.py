@@ -216,7 +216,12 @@ def main():
     import os
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=20)
+    # 50-step window: the final host-transfer sync pays one fixed tunnel
+    # round trip (~50-60 ms) that belongs to the MEASUREMENT, not the step;
+    # at 20 steps it inflates per-step time ~10% (r1-r3 recorded ~651k
+    # where the independent 50-step ablate harness and this bench both
+    # measure ~706-726k on an idle host — RESULTS.md round 4)
+    ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--torch-steps", type=int, default=1)
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--no-cache", action="store_true")
