@@ -70,6 +70,17 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--skip-test", action="store_true")
+    ap.add_argument("--eval-march-bound", type=float, default=1.2,
+                    help="bounding-sphere march clip for TEST/EVAL scenes "
+                         "(0 disables -> exact r3 semantics). Default ON "
+                         "since round 4: the per-scene golden gate "
+                         "(scripts/verify_march_bound.py) measured "
+                         "bit-identical renders (max|delta|=0.0, 16 views, "
+                         "4 trained checkpoints incl. both DTU scenes) "
+                         "while cutting the 256^2 eval 108.7 -> 79.7 ms. "
+                         "TRAINING is untouched (reference parity). Run "
+                         "the gate on new scene families before trusting "
+                         "the default there, or pass 0.")
     ap.add_argument("--nan-skip", action="store_true",
                     help="skip (not raise on) non-finite-loss steps, like "
                          "the reference's train (training_utils.py:112); "
@@ -79,6 +90,12 @@ def base_parser(desc: str) -> argparse.ArgumentParser:
 
 def nan_policy(args) -> str:
     return "skip" if getattr(args, "nan_skip", False) else "raise"
+
+
+def eval_bound(args):
+    """-> the eval-scene march_bound (None when disabled via 0)."""
+    b = getattr(args, "eval_march_bound", 0.0) or 0.0
+    return b if b > 0.0 else None
 
 
 def metrics_path_for(outputs: str, name: str) -> str:

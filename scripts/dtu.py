@@ -14,7 +14,7 @@ from _common import (base_parser, chunk_for, force_cpu_if_requested,
                      metrics_writer, nan_policy, save_image)
 
 
-def build_scene(max_steps=64, n_bases=6):
+def build_scene(max_steps=64, n_bases=6, march_bound=None):
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
     from neural_raytracing_tpu.lights import LightField
@@ -22,7 +22,8 @@ def build_scene(max_steps=64, n_bases=6):
 
     return nrt.Scene(
         shape=SDF(SphereSDF(n=128), max_steps=max_steps,
-                  throughput_steps=128, dist=2.2),
+                  throughput_steps=128, dist=2.2,
+                  march_bound=march_bound),
         bsdf=ComposeSpatialVarying(
             [NeuralBSDF(activation="softplus") for _ in range(n_bases)]),
         lights=LightField())
@@ -115,7 +116,9 @@ def main():
         save_scene(model_dir, state.params, step=int(state.step))
 
     if not args.skip_test:
-        test_scene = build_scene(max_steps=128)
+        from _common import eval_bound
+        test_scene = build_scene(max_steps=128,
+                                 march_bound=eval_bound(args))
         results = evaluate(
             test_scene, state.params,
             lambda i: make_camera([test_idx[i]]),

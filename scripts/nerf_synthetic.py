@@ -16,7 +16,8 @@ from _common import (base_parser, chunk_for, force_cpu_if_requested,
 
 
 def build_scene(max_steps=64, surface="spheres", stable_init=False,
-                stable_min=False, throughput_mode="full"):
+                stable_min=False, throughput_mode="full",
+                march_bound=None):
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
     from neural_raytracing_tpu.kernels import FusedSkipConnMLP
@@ -37,7 +38,8 @@ def build_scene(max_steps=64, surface="spheres", stable_init=False,
             freqs=128, sigma=128.0, init="xavier", zero_out=True)
     return nrt.Scene(
         shape=SDF(module, max_steps=max_steps, throughput_steps=128,
-                  dist=2.2, throughput_mode=throughput_mode),
+                  dist=2.2, throughput_mode=throughput_mode,
+                  march_bound=march_bound),
         bsdf=ComposeSpatialVarying(
             [NeuralBSDF(activation="softplus") for _ in range(8)],
             sp_var_fn=sp_var_fn),
@@ -240,10 +242,12 @@ def main():
     if not args.skip_test:
         print("Running on test set")
         test = load_nerf_synthetic(args.data, args.size, "test")
+        from _common import eval_bound
         test_scene = build_scene(max_steps=args.test_max_steps,
                                  surface=args.surface,
                                  stable_init=args.stable_init,
-                                 stable_min=args.stable_min)  # test: full-res eval
+                                 stable_min=args.stable_min,
+                                 march_bound=eval_bound(args))
         results = evaluate(
             test_scene, state.params,
             lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],

@@ -17,7 +17,7 @@ from _common import (base_parser, chunk_for, force_cpu_if_requested,
 
 
 def build_scene(max_steps=64, dist=2.2, occlusion="learned",
-                stable_min=False):
+                stable_min=False, march_bound=None):
     import neural_raytracing_tpu as nrt
     from neural_raytracing_tpu.bsdf import ComposeSpatialVarying, NeuralBSDF
     from neural_raytracing_tpu.lights import PointLights
@@ -25,7 +25,8 @@ def build_scene(max_steps=64, dist=2.2, occlusion="learned",
 
     return nrt.Scene(
         shape=SDF(SphereSDF(n=128, stable_min=stable_min),
-                  max_steps=max_steps, throughput_steps=128, dist=dist),
+                  max_steps=max_steps, throughput_steps=128, dist=dist,
+                  march_bound=march_bound),
         bsdf=ComposeSpatialVarying(
             [NeuralBSDF(activation="softplus") for _ in range(7)]),
         lights=PointLights(scale=100.0),
@@ -159,9 +160,11 @@ def main():
 
         for shadows, tag in (("learned", "soft"), ("hard", "hard")):
             print(f"NeRV test with {tag} shadows")
+            from _common import eval_bound
             test_scene = build_scene(max_steps=128, dist=args.dist,
                                      occlusion=shadows,
-                                     stable_min=args.stable_min)
+                                     stable_min=args.stable_min,
+                                     march_bound=eval_bound(args))
             results = evaluate(
                 test_scene, state.params,
                 lambda i: NeRFCamera(
