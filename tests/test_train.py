@@ -532,3 +532,35 @@ def test_evaluate_gt_clamp_protocol():
     l2_raw = float(np.mean((got - exp[0]) ** 2))
     assert abs(out_lin["l2"] - l2_raw) < 1e-5, (out_lin["l2"], l2_raw)
     assert out_lin["l2"] > out_tm["l2"] + 0.5  # the policies truly differ
+
+
+def test_eval_march_bound_flag_wiring():
+    """--eval-march-bound: default 1.2 flows into the TEST scene's SDF;
+    0 disables (None = reference semantics); training scenes unaffected."""
+    import os
+    import sys
+    sp = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, sp)
+    try:
+        from _common import base_parser, eval_bound
+        ap = base_parser("t")
+        args = ap.parse_args(["--iters", "0"])
+        assert eval_bound(args) == 1.2
+        args0 = ap.parse_args(["--iters", "0", "--eval-march-bound", "0"])
+        assert eval_bound(args0) is None
+
+        from nerf_synthetic import build_scene
+        s_train = build_scene(max_steps=8)
+        assert s_train.shape.march_bound is None
+        s_eval = build_scene(max_steps=8, march_bound=eval_bound(args))
+        assert s_eval.shape.march_bound == 1.2
+        # SDF.replace: config clone differing ONLY in the overridden field
+        clone = s_train.shape.replace(march_bound=2.0)
+        assert clone.march_bound == 2.0
+        assert clone.module is s_train.shape.module
+        assert s_train.shape.march_bound is None
+        import pytest
+        with pytest.raises(AttributeError):
+            s_train.shape.replace(not_a_field=1)
+    finally:
+        sys.path.remove(sp)
