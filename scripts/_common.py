@@ -98,6 +98,20 @@ def eval_bound(args):
     return b if b > 0.0 else None
 
 
+def fresh_path(path: str) -> str:
+    """Collision-proof artifact path: never clobber an existing non-empty
+    file (same policy as metrics_path_for; a test-only re-run with the
+    default tag must not truncate a multi-hour training curve)."""
+    base, ext = os.path.splitext(path)
+    k, p = 0, path
+    while os.path.exists(p) and os.path.getsize(p) > 0:
+        k += 1
+        p = f"{base}-{k}{ext}"
+    if k:
+        print(f"{path} exists; writing to {p}")
+    return p
+
+
 def metrics_path_for(outputs: str, name: str) -> str:
     """Collision-proof metrics curve path.
 

@@ -17,22 +17,8 @@ import time
 
 import numpy as np
 
-from _common import chunk_for, save_image
+from _common import chunk_for, fresh_path, save_image
 
-
-
-def fresh_path(path):
-    """Collision-proof artifact path: never clobber an existing non-empty
-    file (same policy as _common.metrics_path_for; a test-only re-run with
-    the default tag must not truncate a multi-hour training curve)."""
-    base, ext = os.path.splitext(path)
-    k, p = 0, path
-    while os.path.exists(p) and os.path.getsize(p) > 0:
-        k += 1
-        p = f"{base}-{k}{ext}"
-    if k:
-        print(f"{path} exists; writing to {p}")
-    return p
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
