@@ -231,36 +231,41 @@ def main():
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_baseline.json")
-    baseline = None
-    if not args.no_cache and os.path.exists(cache):
+    # baselines are cached PER SHAPE — per-ray torch cost is
+    # batch-dependent, so a NRT_BENCH_VIEWS/CROP override gets its own
+    # entry instead of re-measuring the ~80 s torch step on every run
+    # (ADVICE r4).  Legacy single-shape cache files are migrated in place.
+    shape_key = f"{RAYS_PER_STEP}-{MARCH_STEPS}-{THROUGHPUT_STEPS}"
+
+    def load_baselines():
+        if not os.path.exists(cache):
+            return {}
         cached = json.load(open(cache))
-        # the cached torch number is only comparable at the workload shape
-        # it was measured at — per-ray cost is batch-dependent; a bench run
-        # under NRT_BENCH_VIEWS/CROP overrides must not reuse it
-        if (cached.get("rays_per_step", RAYS_PER_STEP) == RAYS_PER_STEP
-                and cached.get("march_steps", MARCH_STEPS) == MARCH_STEPS
-                and cached.get("throughput_steps",
-                               THROUGHPUT_STEPS) == THROUGHPUT_STEPS):
-            baseline = cached.get("torch_cpu_rays_per_sec")
-        else:
-            print(f"# baseline cache is for rays_per_step="
-                  f"{cached.get('rays_per_step')} — ignored at current "
-                  f"config (rays_per_step={RAYS_PER_STEP})")
+        if "baselines" in cached:
+            return dict(cached["baselines"])
+        legacy_key = (f"{cached.get('rays_per_step', RAYS_PER_STEP)}-"
+                      f"{cached.get('march_steps', MARCH_STEPS)}-"
+                      f"{cached.get('throughput_steps', THROUGHPUT_STEPS)}")
+        return {legacy_key: cached.get("torch_cpu_rays_per_sec")}
+
+    baseline = None
+    if not args.no_cache:
+        baselines = load_baselines()
+        baseline = baselines.get(shape_key)
+        if baseline is None and baselines:
+            print(f"# no cached baseline for shape {shape_key} "
+                  f"(have: {sorted(baselines)})", file=sys.stderr)
     if args.skip_torch:
         vs = 0.0 if baseline is None else value / baseline
     else:
         if baseline is None:
             # one torch-cpu step at equal sample counts (~80 s); cached so
-            # subsequent runs skip it
+            # subsequent runs at this shape skip it
             baseline = bench_torch_cpu(args.torch_steps, warmup=0)
-            if not os.path.exists(cache):
-                # never clobber an existing (differently-shaped) cache —
-                # lever-shape baselines are measured ad hoc, not cached
-                with open(cache, "w") as f:
-                    json.dump({"torch_cpu_rays_per_sec": baseline,
-                               "rays_per_step": RAYS_PER_STEP,
-                               "march_steps": MARCH_STEPS,
-                               "throughput_steps": THROUGHPUT_STEPS}, f)
+            baselines = load_baselines()
+            baselines[shape_key] = baseline
+            with open(cache, "w") as f:
+                json.dump({"baselines": baselines}, f)
         vs = value / baseline
 
     print(json.dumps({

@@ -247,6 +247,14 @@ class Direct(Integrator):
         # otherwise pay a full shadow march for nothing)
         bsdf_samples = (0 if getattr(scene.lights, "delta", False)
                         else self.bsdf_samples)
+        if bsdf_samples > 0 and bkey is None:
+            # a silent fixed-key fallback here would make every keyless
+            # call draw the SAME sample stream — a 32-pass eval-averaging
+            # protocol (path_nerv style) would average 32 identical
+            # samples and report fake variance reduction
+            raise ValueError(
+                "Direct(bsdf_samples>0) requires a PRNG key; pass key= to "
+                "sample()/pathtrace()")
         for i in range(self.emitter_samples):
             skey = None
             if ekey is not None:
@@ -273,8 +281,7 @@ class Direct(Integrator):
             result = result + jnp.where(active_emitted[..., None], val, 0.0)
 
         for i in range(bsdf_samples):
-            skey = jax.random.fold_in(
-                bkey if bkey is not None else jax.random.PRNGKey(0), i)
+            skey = jax.random.fold_in(bkey, i)
             # sample() provides the direction; the VALUE and pdf come from
             # eval_and_pdf so both arms share one convention (the eval
             # spectrum includes the cos factor; one-sample mixture MIS)
@@ -317,7 +324,12 @@ class Path(Integrator):
     def sample(self, scene, params, rays, key=None, training: Optional[bool] = None):
         training = self.training if training is None else training
         if key is None:
-            key = jax.random.PRNGKey(0)
+            # same trap as Direct's BSDF arm: a fixed-key fallback makes
+            # repeated keyless calls correlated, silently breaking
+            # multi-pass averaging
+            raise ValueError(
+                "Path is a Monte Carlo integrator and requires a PRNG "
+                "key; pass key= to sample()/pathtrace()")
         ikey, key = jax.random.split(key)
 
         it, active = scene.shape.intersect(params["shape"], rays, key=ikey,

@@ -52,7 +52,9 @@ def calibrate_exposure(scene: Scene, state, make_camera: Callable,
     if key is None:
         key = jax.random.PRNGKey(2)
     if views is None:
-        views = (0, len(images) // 2)
+        # dedup: a single-image dataset would otherwise render view 0
+        # twice (and duplicates double-weight the ratio in general)
+        views = tuple(sorted({0, len(images) // 2}))
     rsum = gsum = 0.0
     n_used = 0
     for i in views:

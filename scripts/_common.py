@@ -93,8 +93,19 @@ def nan_policy(args) -> str:
 
 
 def eval_bound(args):
-    """-> the eval-scene march_bound (None when disabled via 0)."""
+    """-> the eval-scene march_bound (None when disabled via 0).
+
+    Emits a runtime warning when active (ADVICE r4): the bit-identical
+    golden gate covered the scene families in results/march_bound_gate.json;
+    a NEW family with content near/beyond the r=1.2 sphere would get
+    clipped eval marches with no other signal.
+    """
     b = getattr(args, "eval_march_bound", 0.0) or 0.0
+    if b > 0.0:
+        print(f"[eval] march_bound={b} active for TEST/EVAL renders; on a "
+              "new scene family run scripts/verify_march_bound.py first, "
+              "or pass --eval-march-bound 0 for exact reference semantics",
+              file=sys.stderr, flush=True)
     return b if b > 0.0 else None
 
 

@@ -127,7 +127,10 @@ def main():
             masks=data.masks[test_idx],
             save_fn=lambda i, im: save_image(
                 f"{args.outputs}/dtu_{name}_test_{i:02}.png", im))
-        metrics.append({"step": int(args.iters), "test": results})
+        # stamp with the GLOBAL applied step (checkpoints record the same
+        # convention since r4); args.iters is only the REMAINING count on
+        # a resumed run (ADVICE r4)
+        metrics.append({"step": int(state.step), "test": results})
         flush_metrics()
 
 

@@ -176,7 +176,9 @@ def main():
                 light_update=eval_light_update,
                 save_fn=lambda i, im: save_image(
                     f"{args.outputs}/nerv_{name}_{tag}_{i:03}.png", im))
-            metrics.append({"step": int(args.iters),
+            # global applied step, not the (possibly resumed-remaining)
+            # --iters count (ADVICE r4)
+            metrics.append({"step": int(state.step),
                             "test_" + tag: results})
         flush_metrics()
 
