@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--outputs", type=str, default="outputs/ref_parity")
     ap.add_argument("--tag", type=str, default="jax")
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="run the full test protocol every N train iters "
+                         "(rows -> results/ref_parity/convergence_{tag}"
+                         ".jsonl), mirroring ref_parity_nerf.py's "
+                         "convergence curve")
     args = ap.parse_args()
     os.makedirs(args.outputs, exist_ok=True)
     os.makedirs("../results/ref_parity", exist_ok=True)
@@ -59,32 +64,60 @@ def main():
 
     curve_path = fresh_path(
         f"../results/ref_parity/curve_{args.tag}.jsonl")
-    t_start = time.time()
+    conv_path = f"../results/ref_parity/convergence_{args.tag}.jsonl"
     metrics: list = []
 
-    t0 = time.time()
-    state, _ = train(
-        scene, Direct(training=True), opt, state, make_camera,
-        data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
-        size=args.size, crop_size=args.crop_size, iters=args.iters,
-        n_views=args.n_views, uv_select=rand_uv_mask,
-        extra_loss=lambda it, got, exp, mask: eikonal_loss(it.raw_normals),
-        metrics=metrics, log_every=100)
-    train_wall = time.time() - t0
+    test = load_nerf_synthetic(args.data, args.size, "test")
+    test_scene = build_scene(max_steps=args.test_march)
+    eval_integrator = Direct(training=False)
+
+    def run_test(save_images=False):
+        return evaluate(
+            test_scene, state.params,
+            lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],
+                                 focal=test.focal),
+            test.images, eval_integrator,
+            size=args.size, chunk_size=chunk_for(args.size),
+            save_fn=(lambda i, im: save_image(
+                f"{args.outputs}/test_{args.tag}_{i:03}.png", im))
+            if save_images else None)
+
+    train_integrator = Direct(training=True)
+    ex_loss = lambda it, got, exp, mask: eikonal_loss(it.raw_normals)
+    train_wall = 0.0
+    seg = args.eval_every if args.eval_every else args.iters
+    done = 0
+    while done < args.iters:
+        n = min(seg, args.iters - done)
+        seg_metrics: list = []
+        t0 = time.time()
+        state, _ = train(
+            scene, train_integrator, opt, state, make_camera,
+            data.images, data.masks,
+            jax.random.fold_in(jax.random.PRNGKey(args.seed + 1), done),
+            size=args.size, crop_size=args.crop_size, iters=n,
+            n_views=args.n_views, uv_select=rand_uv_mask,
+            extra_loss=ex_loss, metrics=seg_metrics, log_every=100)
+        train_wall += time.time() - t0
+        for m in seg_metrics:
+            m["step"] = m.get("step", 0) + done
+            metrics.append(m)
+        done += n
+        if args.eval_every:
+            results = run_test(save_images=done >= args.iters)
+            row = {"after_step": done, "avg_psnr": results["psnr"],
+                   "ssim": results["ssim"], "avg_l1": results["l1"],
+                   "avg_l2": results["l2"], "train_wall_s": train_wall}
+            with open(conv_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+            print(f"[eval@{done}] PSNR {results['psnr']:.3f} "
+                  f"SSIM {results['ssim']:.4f}", flush=True)
     with open(curve_path, "w") as f:
         for m in metrics:
             f.write(json.dumps(m) + "\n")
 
-    test = load_nerf_synthetic(args.data, args.size, "test")
-    test_scene = build_scene(max_steps=args.test_march)
-    results = evaluate(
-        test_scene, state.params,
-        lambda i: NeRFCamera(cam_to_world=test.cam_to_worlds[i:i + 1],
-                             focal=test.focal),
-        test.images, Direct(training=False),
-        size=args.size, chunk_size=chunk_for(args.size),
-        save_fn=lambda i, im: save_image(
-            f"{args.outputs}/test_{args.tag}_{i:03}.png", im))
+    if not args.eval_every:
+        results = run_test(save_images=True)
 
     result = {
         "impl": "neural_raytracing_tpu",
