@@ -288,6 +288,10 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
     """
     assert nan_policy in ("raise", "skip"), nan_policy
     skip_nan = nan_policy == "skip"
+    # label metrics/logs/valid callbacks with the GLOBAL attempted step so
+    # resumed and multi-phase runs (e.g. half-res warmup -> full-res) emit
+    # one continuous curve; state.step holds the applied-step count at entry
+    base = int(np.asarray(state.step))
     if device_data is not None:
         # ON-DEVICE data path: view selection / crop sampling / GT gather /
         # camera construction run inside the jitted step — per-step host
@@ -333,19 +337,19 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
                     if log_every and ((i - 1) % log_every) == 0:
                         rps = (i * rays_per_step) / max(time.time() - t0,
                                                         1e-9)
-                        log_fn(f"step {i - 1:6d} loss {loss:.5f} "
+                        log_fn(f"step {base + i - 1:6d} loss {loss:.5f} "
                                f"rays/s {rps:,.0f}")
                     if metrics is not None:
                         metrics.append({
-                            "step": i - 1, "loss": loss,
+                            "step": base + i - 1, "loss": loss,
                             "rays_per_sec": (i * rays_per_step) / max(
                                 time.time() - t0, 1e-9)})
             pending = aux["loss"]
             if save_fn is not None and ckpt_freq and (i % ckpt_freq) == 0 \
                     and i:
-                save_fn(state, i)
+                save_fn(state, base + i)
             if valid_fn is not None and valid_freq and (i % valid_freq) == 0:
-                valid_fn(state, i)
+                valid_fn(state, base + i)
         if pending is not None:
             losses.append(float(pending))
         return state, losses
@@ -383,13 +387,14 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
         if not np.isfinite(loss):
             if not skip_nan:
                 raise FloatingPointError(
-                    f"Unexpected NaN loss at step {i - 1}")
+                    f"Unexpected NaN loss at step {base + i - 1}")
             consecutive_bad[0] += 1
-            log_fn(f"step {i - 1:6d} non-finite loss — update skipped "
-                   f"({consecutive_bad[0]} consecutive)")
+            log_fn(f"step {base + i - 1:6d} non-finite loss — update "
+                   f"skipped ({consecutive_bad[0]} consecutive)")
             if consecutive_bad[0] >= 200:
                 raise FloatingPointError(
-                    f"200 consecutive non-finite losses at step {i - 1}")
+                    f"200 consecutive non-finite losses at step "
+                    f"{base + i - 1}")
             return
         consecutive_bad[0] = 0
         losses.append(loss)
@@ -397,9 +402,10 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
         if log_every and ((i - 1) % log_every) == 0:
             dt = time.time() - t0
             rps = rays_done / max(dt, 1e-9)
-            log_fn(f"step {i - 1:6d} loss {loss:.5f} rays/s {rps:,.0f}")
+            log_fn(f"step {base + i - 1:6d} loss {loss:.5f} "
+                   f"rays/s {rps:,.0f}")
         if metrics is not None:
-            metrics.append({"step": i - 1, "loss": loss,
+            metrics.append({"step": base + i - 1, "loss": loss,
                             "rays_per_sec": rays_done / max(
                                 time.time() - t0, 1e-9)})
 
@@ -430,9 +436,9 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
         pending = (idxs, aux["loss"])
 
         if save_fn is not None and ckpt_freq and (i % ckpt_freq) == 0 and i:
-            save_fn(state, i)
+            save_fn(state, base + i)
         if valid_fn is not None and valid_freq and (i % valid_freq) == 0:
-            valid_fn(state, i)
+            valid_fn(state, base + i)
 
     if pending is not None:
         resolve(pending, iters)

@@ -112,6 +112,14 @@ def main():
                          "block of the train step: bench 662k -> 936k "
                          "rays/s (+41%). Training mask supervision is at "
                          "half resolution (2x2-duplicated logits)")
+    ap.add_argument("--half-res-warmup", type=int, default=0,
+                    help="SCHEDULED variant of --half-res-throughput: the "
+                         "first N steps run the half-res silhouette min-"
+                         "scan (+41% throughput), the remainder finishes "
+                         "at full resolution so mask supervision re-"
+                         "sharpens — targets the speed without the always-"
+                         "on variant's -2.6 dB (r4 pricing). One extra "
+                         "jit compile at the phase switch")
     ap.add_argument("--valid-freq", type=int, default=2500,
                     help="full-frame validation render + PSNR every N steps "
                          "(0 disables); curves land in the metrics file")
@@ -133,11 +141,19 @@ def main():
     print(f"{name}, Size: {args.size}, Iters: {args.iters}")
     data = load_nerf_synthetic(args.data, args.size, "train")
 
+    if args.half_res_warmup and args.half_res_throughput:
+        ap.error("--half-res-warmup and --half-res-throughput are exclusive")
     tp_mode = "half_res" if args.half_res_throughput else "full"
+    if args.half_res_warmup:
+        k = int(min(args.half_res_warmup, args.iters))
+        phases = [("half_res", k), ("full", args.iters - k)]
+    else:
+        phases = [(tp_mode, args.iters)]
+    phases = [(m, n) for m, n in phases if n > 0]
     scene = build_scene(max_steps=64, surface=args.surface,
                         stable_init=args.stable_init,
                         stable_min=args.stable_min,
-                        throughput_mode=tp_mode)
+                        throughput_mode=phases[0][0] if phases else tp_mode)
     opt = make_optimizer({"shape": args.surface_lr, "bsdf": args.bsdf_lr,
                           "lights": args.light_lr},
                           clip_norm=args.clip_norm)
@@ -191,10 +207,11 @@ def main():
     import neural_raytracing_tpu as nrt
 
     metrics, flush_metrics = metrics_writer(args.outputs, name)
+    cur = [scene]  # rebound per phase by the half-res-warmup schedule
 
     def valid_fn(st, i):
         img, _ = nrt.pathtrace(
-            scene, st.params, make_camera([0]), Direct(training=False),
+            cur[0], st.params, make_camera([0]), Direct(training=False),
             size=args.size, chunk_size=chunk_for(args.size), background=0.0,
             key=jax.random.PRNGKey(0))
         got = np.clip(np.asarray(img)[..., :3], 0.0, 1.0)
@@ -216,23 +233,37 @@ def main():
 
     if args.iters > 0:
         try:
-            state, _ = train(
-                scene, Direct(training=True), opt, state, make_camera,
-                data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
-                size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
-                with_ssim=not args.no_ssim, mask_weight=args.mask_weight,
-                uv_select=rand_uv_mask if args.mask_crops else None,
-                n_views=args.n_views, log_every=args.log_every, mesh=mesh,
-                extra_loss=extra_loss, metrics=metrics,
-                device_data=device_data, camera_builder=camera_builder,
-                valid_fn=valid_fn if args.valid_freq else None,
-                valid_freq=args.valid_freq,
-                save_fn=lambda st, i: (
-                    save_scene(model_dir, st.params, step=int(st.step)),
-                    save_train_state(state_path, st.params, st.opt_state,
-                                     int(st.step)),
-                    flush_metrics()),
-                ckpt_freq=max(args.iters // 5 - 1, 1))
+            for pi, (ph_mode, ph_iters) in enumerate(phases):
+                if ph_mode != cur[0].shape.throughput_mode:
+                    cur[0] = build_scene(
+                        max_steps=64, surface=args.surface,
+                        stable_init=args.stable_init,
+                        stable_min=args.stable_min,
+                        throughput_mode=ph_mode)
+                if len(phases) > 1:
+                    print(f"phase {pi}: throughput_mode={ph_mode} "
+                          f"({ph_iters} steps)")
+                tkey = jax.random.PRNGKey(args.seed + 1)
+                if pi:
+                    tkey = jax.random.fold_in(tkey, pi)
+                state, _ = train(
+                    cur[0], Direct(training=True), opt, state, make_camera,
+                    data.images, data.masks, tkey,
+                    size=args.size, crop_size=args.crop_size, iters=ph_iters,
+                    nan_policy=nan_policy(args),
+                    with_ssim=not args.no_ssim, mask_weight=args.mask_weight,
+                    uv_select=rand_uv_mask if args.mask_crops else None,
+                    n_views=args.n_views, log_every=args.log_every,
+                    mesh=mesh, extra_loss=extra_loss, metrics=metrics,
+                    device_data=device_data, camera_builder=camera_builder,
+                    valid_fn=valid_fn if args.valid_freq else None,
+                    valid_freq=args.valid_freq,
+                    save_fn=lambda st, i: (
+                        save_scene(model_dir, st.params, step=int(st.step)),
+                        save_train_state(state_path, st.params, st.opt_state,
+                                         int(st.step)),
+                        flush_metrics()),
+                    ckpt_freq=max(ph_iters // 5 - 1, 1))
         finally:
             flush_metrics()
         save_scene(model_dir, state.params, step=int(state.step))
@@ -256,7 +287,7 @@ def main():
             size=args.size, chunk_size=chunk_for(args.size),
             save_fn=lambda i, im: save_image(
                 f"{args.outputs}/test_{name}_{i:03}.png", im))
-        metrics.append({"step": int(args.iters), "test": results})
+        metrics.append({"step": int(state.step), "test": results})
         flush_metrics()
 
 

@@ -99,9 +99,9 @@ def main():
             n_views=args.n_views, uv_select=rand_uv_mask,
             extra_loss=ex_loss, metrics=seg_metrics, log_every=100)
         train_wall += time.time() - t0
-        for m in seg_metrics:
-            m["step"] = m.get("step", 0) + done
-            metrics.append(m)
+        # train() labels metrics with the global step (base = state.step
+        # at entry), so segment rows are already absolute
+        metrics.extend(seg_metrics)
         done += n
         if args.eval_every:
             results = run_test(save_images=done >= args.iters)

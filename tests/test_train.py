@@ -564,3 +564,31 @@ def test_eval_march_bound_flag_wiring():
             s_train.shape.replace(not_a_field=1)
     finally:
         sys.path.remove(sp)
+
+
+def test_metrics_use_global_step_across_segments(gt_data):
+    """train() labels metrics/log rows with the GLOBAL applied step
+    (base = state.step at entry), so segmented or resumed runs — e.g. the
+    half-res-warmup schedule in scripts/nerf_synthetic.py — emit one
+    continuous curve instead of restarting at 0 each phase."""
+    imgs, masks, cams = gt_data
+    scene = nrt.Scene(
+        shape=small_sdf(),
+        bsdf=Diffuse(reflectance=(0.5, 0.5, 0.5)),
+        lights=PointLights(location=(0.0, 1.0, 4.0), scale=50.0))
+    opt = make_optimizer({"shape": 5e-3, "bsdf": 1e-2, "lights": 0.0})
+    state = init_train_state(scene, opt, jax.random.PRNGKey(2))
+
+    def make_camera(idxs):
+        return FoVPerspectiveCamera(R=cams.R[idxs], T=cams.T[idxs])
+
+    metrics: list = []
+    for seg in range(2):
+        state, _ = train(
+            scene, Direct(training=True), opt, state, make_camera,
+            imgs, masks, jax.random.fold_in(jax.random.PRNGKey(3), seg),
+            size=SIZE, crop_size=16, iters=3, n_views=2, log_every=0,
+            metrics=metrics)
+    steps = [m["step"] for m in metrics if "loss" in m]
+    assert steps == list(range(6)), steps
+    assert int(state.step) == 6
