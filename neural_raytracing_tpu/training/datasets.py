@@ -96,7 +96,12 @@ class DTUDataset(NamedTuple):
 
 def load_dtu(directory: str, size: int, image_dir: str = "image",
              mask_dir: str = "mask",
-             src_size: tuple = (1600, 1200)) -> DTUDataset:
+             src_size: tuple = (1600, 1200),
+             normalize_dist: bool = True) -> DTUDataset:
+    """``normalize_dist``: scale all camera centers by 1/max distance so
+    the farthest camera sits on the unit sphere (reference dtu.py:87-89
+    ``poses[:, :3, 3] /= max_dist`` — part of its DTU protocol; r1-r4
+    runs of our stack omitted it, a parity gap found by the r5 duel)."""
     cams = np.load(os.path.join(directory, "cameras.npz"))
     img_files = sorted(os.listdir(os.path.join(directory, image_dir)))
     n = len(img_files)
@@ -122,7 +127,12 @@ def load_dtu(directory: str, size: int, image_dir: str = "image",
         if m.ndim == 3:
             m = m[..., 0]
         masks.append((m > 0.5).astype(np.float32))
-    return DTUDataset(np.stack(poses), np.stack(intrinsics),
+    poses = np.stack(poses)
+    if normalize_dist:
+        max_dist = max(float(np.linalg.norm(poses[:, :3, 3], axis=-1).max()),
+                       1e-6)
+        poses[:, :3, 3] /= max_dist
+    return DTUDataset(poses, np.stack(intrinsics),
                       np.stack(images), np.stack(masks), src_size)
 
 

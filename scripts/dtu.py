@@ -41,6 +41,12 @@ def main():
                          "the jitted step; ~1.5x on host-constrained VMs)")
     ap.add_argument("--test-every", type=int, default=10,
                     help="every k-th view is held out (dtu.py:115-121)")
+    ap.add_argument("--mask-weight", type=float, default=10.0,
+                    help="miss-loss (mask BCE) weight. The DTU protocol "
+                         "uses 10 (train_dtu, training_utils.py:404), NOT "
+                         "the train_nerf 15 — r1-r4 runs of this script "
+                         "used the default 15, a parity gap found by the "
+                         "r5 duel")
     ap.set_defaults(size=200, crop_size=96, n_views=3)
     args = ap.parse_args()
     force_cpu_if_requested(args)
@@ -103,6 +109,7 @@ def main():
                 data.images[train_idx], data.masks[train_idx],
                 jax.random.PRNGKey(args.seed + 1), size=args.size,
                 crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
+                mask_weight=args.mask_weight,
                 uv_select=rand_uv_mask,
                 n_views=args.n_views, log_every=args.log_every,
                 metrics=metrics,

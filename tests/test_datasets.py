@@ -82,3 +82,40 @@ class TestDiskLayouts:
         data = load_colocate(str(tmp_path), "bunny", 8, n_elev=2, n_azim=2)
         assert data.images.shape == (4, 8, 8, 3)
         assert data.elevs.shape == (4,)
+
+
+class TestLoadDTU:
+    def _write_ds(self, d, dists=(1.6, 2.4)):
+        from PIL import Image
+        os.makedirs(d / "image")
+        os.makedirs(d / "mask")
+        K = np.asarray([[80.0, 0.0, 32.0],
+                        [0.0, 80.0, 32.0],
+                        [0.0, 0.0, 1.0]])
+        cams = {}
+        for i, dist in enumerate(dists):
+            R = np.eye(3)
+            c = np.asarray([0.0, 0.0, dist])
+            t = -R @ c
+            P = np.eye(4, dtype=np.float32)
+            P[:3, :4] = K @ np.concatenate([R, t[:, None]], axis=1)
+            cams[f"world_mat_{i}"] = P
+            cams[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
+            img = (np.ones((8, 8, 3)) * 128).astype(np.uint8)
+            Image.fromarray(img).save(d / "image" / f"{i:03}.png")
+            Image.fromarray(img).save(d / "mask" / f"{i:03}.png")
+        np.savez(d / "cameras.npz", **cams)
+
+    def test_normalize_dist(self, tmp_path):
+        """Camera centers are scaled so the farthest sits on the unit
+        sphere (reference dtu.py:87-89) — and normalize_dist=False keeps
+        the raw scale."""
+        from neural_raytracing_tpu.training.datasets import load_dtu
+        d = tmp_path / "dtu"
+        self._write_ds(d)
+        ds = load_dtu(str(d), 8)
+        dists = np.linalg.norm(ds.poses[:, :3, 3], axis=-1)
+        np.testing.assert_allclose(dists, [1.6 / 2.4, 1.0], atol=1e-4)
+        raw = load_dtu(str(d), 8, normalize_dist=False)
+        dists = np.linalg.norm(raw.poses[:, :3, 3], axis=-1)
+        np.testing.assert_allclose(dists, [1.6, 2.4], atol=1e-4)
