@@ -216,8 +216,39 @@ def c2w_up(elev_deg, azim_deg, dist, up="y"):
     return m
 
 
+class _ZGate:
+    """sp_var wrapper: below z0 the LAST lobe (Conductor) is forced on and
+    the others off — deterministic material assignment for the mirror
+    plate in the interreflection GT (VERDICT r4 next #4).  Same
+    ``init(key)`` / ``(params, x)`` interface as SkipConnMLP."""
+
+    def __init__(self, inner, z0: float, sharp: float = 400.0):
+        self.inner = inner
+        self.z0 = float(z0)
+        self.sharp = float(sharp)
+
+    def init(self, key):
+        return self.inner.init(key)
+
+    def __call__(self, params, x):
+        import jax
+        import jax.numpy as jnp
+        logits = self.inner(params, x)
+        below = jax.nn.sigmoid((self.z0 - x[..., 2:3]) * self.sharp)
+        k = logits.shape[-1]
+        push = jnp.concatenate([jnp.full((k - 1,), -12.0),
+                                jnp.full((1,), 12.0)])
+        return logits * (1.0 - below) + push * below
+
+
 def build_gt_scene(kind: str, light_scale: float, occlusion: str = "hard",
-                   obj_scale: float = 1.0, material: str = "default"):
+                   obj_scale: float = 1.0, material: str = "default",
+                   mirror_plate: float = 0.0):
+    """``mirror_plate > 0``: append a square conductor plate of half-extent
+    ``mirror_plate`` just under the object (z-up kinds) — an
+    interreflection-heavy scene: the plate reflects the object, light the
+    single-bounce ``Direct`` integrator cannot transport (with a delta
+    point light the mirror contributes ONLY via secondary bounces)."""
     import jax.numpy as jnp
 
     import neural_raytracing_tpu as nrt
@@ -229,7 +260,17 @@ def build_gt_scene(kind: str, light_scale: float, occlusion: str = "hard",
     from neural_raytracing_tpu.shapes import TriangleMesh
 
     verts, faces = MESHES[kind]()
-    shape = TriangleMesh(verts * np.float32(obj_scale), faces)
+    verts = verts * np.float32(obj_scale)
+    plate_top = None
+    if mirror_plate > 0.0:
+        zmin = float(verts[:, 2].min())
+        plate_top = zmin - 0.005
+        pv, pf = _box_tris((0.0, 0.0, plate_top - 0.03),
+                           (mirror_plate, mirror_plate, 0.03))
+        faces = np.concatenate([faces, pf + len(verts)],
+                               axis=0).astype(np.int32)
+        verts = np.concatenate([verts, pv], axis=0)
+    shape = TriangleMesh(verts, faces)
     if material == "variety":
         # lego-class regime: a bright multi-hue palette with a sharper
         # spatial-assignment MLP, so the GT has per-region albedo variety
@@ -245,6 +286,11 @@ def build_gt_scene(kind: str, light_scale: float, occlusion: str = "hard",
                  Conductor()]
         sp_var = SkipConnMLP(in_size=3, out=len(bsdfs), num_layers=2,
                              hidden_size=32, freqs=8, sigma=8.0)
+    if plate_top is not None:
+        # conductor must be the LAST lobe for the gate (it is, both
+        # material palettes above)
+        assert isinstance(bsdfs[-1], Conductor)
+        sp_var = _ZGate(sp_var, z0=plate_top + 0.002)
     bsdf = ComposeSpatialVarying(bsdfs, sp_var_fn=sp_var)
     lights = PointLights(scale=light_scale)
     return nrt.Scene(shape=shape, bsdf=bsdf, lights=lights,
@@ -298,6 +344,17 @@ def main():
                     help="static point lights for the nerf format (a ring "
                          "at elev 35; each frame sums one render per "
                          "light) — fills shadowed regions like a light rig")
+    ap.add_argument("--mirror-plate", type=float, default=0.0,
+                    help="append a square conductor (mirror) plate of this "
+                         "half-extent under the object — interreflection-"
+                         "heavy GT for the Path-vs-Direct demonstration")
+    ap.add_argument("--gt-bounces", type=int, default=1,
+                    help=">=2: render GT with the multi-bounce Path "
+                         "integrator (max_depth=N) instead of Direct, so "
+                         "the GT CONTAINS secondary-bounce light")
+    ap.add_argument("--gt-spp", type=int, default=16,
+                    help="stochastic Path passes averaged per GT frame "
+                         "(only with --gt-bounces >= 2)")
     ap.set_defaults(size=256)
     args = ap.parse_args()
     force_cpu_if_requested(args)
@@ -314,9 +371,16 @@ def main():
 
     scene = build_gt_scene(args.kind, light_scale=1.0,
                            occlusion=args.occlusion,
-                           obj_scale=args.obj_scale, material=args.material)
+                           obj_scale=args.obj_scale, material=args.material,
+                           mirror_plate=args.mirror_plate)
     params = scene.init(jax.random.PRNGKey(7))
-    integrator = Mask(Direct(training=False))
+    spp = 1
+    if args.gt_bounces >= 2:
+        from neural_raytracing_tpu.integrators import Path
+        integrator = Mask(Path(max_depth=args.gt_bounces, training=False))
+        spp = max(1, args.gt_spp)
+    else:
+        integrator = Mask(Direct(training=False))
     chunk = chunk_for(args.size)
 
     def render(cam, light_loc, scale):
@@ -324,10 +388,14 @@ def main():
         p["lights"] = dict(p["lights"],
                            location=jnp.atleast_2d(jnp.asarray(light_loc)),
                            scale=jnp.float32(scale))
-        img, _ = nrt.pathtrace(scene, p, cam, integrator, size=args.size,
-                               chunk_size=chunk, background=0.0,
-                               key=jax.random.PRNGKey(0))
-        return np.asarray(img)
+        acc = None
+        for s in range(spp):
+            img, _ = nrt.pathtrace(scene, p, cam, integrator,
+                                   size=args.size, chunk_size=chunk,
+                                   background=0.0,
+                                   key=jax.random.PRNGKey(1 + s))
+            acc = img if acc is None else acc + img
+        return np.asarray(acc) / spp
 
     nerf_light = np.asarray([1.6, 2.2, 1.4], np.float32)
     nerf_ca = math.radians(60.0)

@@ -30,3 +30,29 @@ def test_chunk_for_divides():
     for size in (64, 100, 200, 256, 300):
         c = chunk_for(size)
         assert size % c == 0 and c <= 128
+
+
+def test_mirror_plate_gt_scene():
+    """--mirror-plate appends a conductor plate under the object and the
+    _ZGate forces the conductor lobe on below the plate top (the
+    interreflection GT for the Path-vs-Direct demonstration)."""
+    import jax
+    import numpy as np
+
+    from make_mesh_dataset import MESHES, build_gt_scene
+
+    base_verts, _ = MESHES["gear"]()
+    scene = build_gt_scene("gear", light_scale=1.0, material="variety",
+                           mirror_plate=0.8)
+    verts = np.asarray(scene.shape.verts)
+    assert len(verts) == len(base_verts) + 8          # plate box appended
+    assert float(verts[:, 0].max()) >= 0.8 - 1e-6     # plate extent
+    params = scene.init(jax.random.PRNGKey(0))
+    zmin = float(base_verts[:, 2].min())
+    below = np.asarray([[0.5, 0.0, zmin - 0.006]], np.float32)
+    above = np.asarray([[0.0, 0.0, zmin + 0.3]], np.float32)
+    w_b, _ = scene.bsdf.normalized_weights(params["bsdf"], below)
+    w_a, _ = scene.bsdf.normalized_weights(params["bsdf"], above)
+    w_b, w_a = np.asarray(w_b)[0], np.asarray(w_a)[0]
+    assert w_b[-1] > 0.99 and w_b[:-1].max() < 0.01   # conductor only
+    assert w_a[-1] < 0.6                              # gate off above
