@@ -448,8 +448,12 @@ def main():
         print(f"auto light scale: {scale:.3f}")
 
     os.makedirs(args.out, exist_ok=True)
+    # full arg provenance: the r5 round lost the r3 generation command for
+    # mesh_blocks_rig256 (the regenerated GT differed: coverage 0.517 vs
+    # 0.458) — every dataset now records how to reproduce itself
     meta = {"kind": args.kind, "format": args.format, "size": args.size,
-            "light_scale": scale}
+            "light_scale": scale, "material": args.material,
+            "mirror_plate": args.mirror_plate, "args": vars(args)}
     json.dump(meta, open(os.path.join(args.out, "meta.json"), "w"))
 
     if args.format == "nerf":
