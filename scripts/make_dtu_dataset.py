@@ -14,7 +14,7 @@ import os
 
 import numpy as np
 
-from _common import base_parser, enable_compile_cache
+from _common import base_parser, enable_compile_cache, force_cpu_if_requested
 
 
 def main():
@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--light-scale", type=float, default=3.0)
     ap.set_defaults(size=64)
     args = ap.parse_args()
+    force_cpu_if_requested(args)
     enable_compile_cache()
 
     import jax
@@ -139,7 +140,11 @@ def main():
         arr = np.clip(arr, 0, 1)
         Image.fromarray((arr[..., :3] * 255).astype(np.uint8)).save(
             os.path.join(args.out, "image", f"{i:06}.png"))
-        Image.fromarray((arr[..., 3] * 255).astype(np.uint8)).save(
+        # RGB mask like the real DTU/IDR layout: the reference loads masks
+        # with ``mask.max(dim=-1)[0].ceil()`` (scripts/dtu.py:58), which
+        # requires a channel axis — a grayscale PNG loads 2-D and breaks it
+        m8 = (arr[..., 3] * 255).astype(np.uint8)
+        Image.fromarray(np.stack([m8, m8, m8], axis=-1)).save(
             os.path.join(args.out, "mask", f"{i:06}.png"))
         print(f"view {i + 1}/{args.views}")
 

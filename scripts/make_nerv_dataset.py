@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from _common import base_parser, enable_compile_cache
+from _common import base_parser, enable_compile_cache, force_cpu_if_requested
 
 
 def main():
@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--light-scale", type=float, default=1.5)
     ap.set_defaults(size=64)
     args = ap.parse_args()
+    force_cpu_if_requested(args)
     enable_compile_cache()
 
     import jax
