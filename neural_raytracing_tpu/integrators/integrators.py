@@ -314,9 +314,19 @@ class Path(Integrator):
     ``primary=False`` (no silhouette throughput).
     """
 
-    def __init__(self, max_depth: int = 2, training: bool = False):
+    def __init__(self, max_depth: int = 2, training: bool = False,
+                 horizon_mask: bool = False):
         self.max_depth = max_depth
         self.training = training
+        # same opt-in physical clamp as Direct.horizon_mask, applied to the
+        # per-bounce emitter arm: without it an unclamped analytic Diffuse
+        # (reference parity, bsdfs.py:108-118 — the clamp is commented out
+        # there) emits NEGATIVE radiance for below-horizon light directions.
+        # The BSDF-sampled bounce arm needs no clamp: Diffuse.sample draws
+        # from the cos-hemisphere (wo.z > 0) and Conductor.sample reflects.
+        # GT generators MUST set this (they play Mitsuba's role; Mitsuba is
+        # horizon-clamped); trained-model evals keep reference parity False.
+        self.horizon_mask = horizon_mask
 
     def dims(self):
         return 3
@@ -348,6 +358,8 @@ class Path(Integrator):
                                              active)
             active_emitted = active & (ds.pdf > 0)
             wo = curr_it.to_local(ds.d)
+            if self.horizon_mask:
+                active_emitted = active_emitted & (wo[..., 2] > 0.0)
             bsdf_val, _, _ = scene.bsdf.eval_and_pdf(params["bsdf"], curr_it,
                                                      wo, active_emitted)
             result = result + jnp.where(

@@ -113,7 +113,7 @@ def main():
     scene = nrt.Scene(shape=shape, bsdf=bsdf, lights=lights,
                       occlusion="hard")
     params = scene.init(jax.random.PRNGKey(7))
-    integrator = Mask(Direct(training=False))
+    integrator = Mask(Direct(training=False, horizon_mask=True))
 
     def render(elev, azim, light_loc, name):
         r, t = look_at_view_transform(dist=1.0, elev=elev, azim=azim)

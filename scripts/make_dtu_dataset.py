@@ -126,7 +126,8 @@ def main():
                 p["lights"] = dict(p["lights"],
                                    location=jnp.atleast_2d(jnp.asarray(loc)))
             img, _ = nrt.pathtrace(scene, p, cam,
-                                   Mask(Direct(training=False)), size=size,
+                                   Mask(Direct(training=False, horizon_mask=True)),
+                                   size=size,
                                    chunk_size=size, background=0.0,
                                    key=jax.random.PRNGKey(i))
             return np.asarray(img)

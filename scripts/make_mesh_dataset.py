@@ -377,10 +377,11 @@ def main():
     spp = 1
     if args.gt_bounces >= 2:
         from neural_raytracing_tpu.integrators import Path
-        integrator = Mask(Path(max_depth=args.gt_bounces, training=False))
+        integrator = Mask(Path(max_depth=args.gt_bounces, training=False,
+                               horizon_mask=True))
         spp = max(1, args.gt_spp)
     else:
-        integrator = Mask(Direct(training=False))
+        integrator = Mask(Direct(training=False, horizon_mask=True))
     chunk = chunk_for(args.size)
 
     def render(cam, light_loc, scale):

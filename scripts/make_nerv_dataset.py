@@ -75,7 +75,8 @@ def main():
             cam = NeRFCamera(cam_to_world=jnp.asarray(c2w[None, :3, :4]),
                              focal=focal)
             img, _ = nrt.pathtrace(scene, p, cam,
-                                   Mask(Direct(training=False)), size=size,
+                                   Mask(Direct(training=False, horizon_mask=True)),
+                                   size=size,
                                    chunk_size=size, background=0.0,
                                    key=jax.random.PRNGKey(i))
             Image.fromarray(

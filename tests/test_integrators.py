@@ -341,3 +341,42 @@ def test_direct_horizon_mask_zeroes_backlit():
     assert float(np.abs(np.asarray(val_ref)).sum()) > 0.0
     # the horizon mask zeroes it
     np.testing.assert_array_equal(np.asarray(val_hm), 0.0)
+
+
+def test_path_horizon_mask_zeroes_negative_backlit_diffuse():
+    """The negative-light GT bug (round 5): an unclamped analytic Diffuse
+    (reference parity — the clamp at reference bsdfs.py:108-118 is
+    commented out) emits NEGATIVE radiance for below-horizon lights, which
+    blackened multi-light generated GT (negatives cancel other lights'
+    positive contributions before the PNG clamp).  Path/Direct with
+    horizon_mask=True — what every GT generator now uses — must zero it."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import neural_raytracing_tpu as nrt
+    from neural_raytracing_tpu.bsdf import Diffuse
+    from neural_raytracing_tpu.integrators import Direct, Path
+    from neural_raytracing_tpu.lights import PointLights
+    from neural_raytracing_tpu.shapes import Sphere
+
+    scene = nrt.Scene(
+        shape=Sphere((0.0, 0.0, 0.0), 1.0),
+        bsdf=Diffuse((0.8, 0.8, 0.8)),
+        # light BEHIND the sphere relative to the camera-facing surface
+        lights=PointLights(location=(0.0, 0.0, -4.0), scale=100.0),
+        occlusion="none")
+    params = scene.init(jax.random.PRNGKey(0))
+    rays = jnp.asarray([[0.0, 0.0, 2.0, 0.0, 0.0, -1.0]])
+
+    for make in (lambda hm: Direct(training=False, horizon_mask=hm),
+                 lambda hm: Path(max_depth=2, training=False,
+                                 horizon_mask=hm)):
+        val_ref, active, _ = make(False).sample(
+            scene, params, rays, key=jax.random.PRNGKey(1))
+        val_hm, _, _ = make(True).sample(
+            scene, params, rays, key=jax.random.PRNGKey(1))
+        assert bool(np.asarray(active)[0])
+        # unclamped parity behavior: radiance goes NEGATIVE (cos < 0)
+        assert float(np.asarray(val_ref).min()) < 0.0
+        assert float(np.asarray(val_hm).min()) >= 0.0
