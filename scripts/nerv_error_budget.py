@@ -85,8 +85,8 @@ def main():
         p = dict(p)
         p["lights"] = dict(p["lights"],
                            location=jnp.atleast_2d(jnp.asarray(light)))
-        integ = Mask(Direct(training=False)) if with_mask \
-            else Direct(training=False)
+        integ = (Mask(Direct(training=False, horizon_mask=True)) if with_mask
+                 else Direct(training=False, horizon_mask=True))
         img, _ = nrt.pathtrace(sc, p, cam, integ, size=size,
                                chunk_size=chunk, background=0.0,
                                key=jax.random.PRNGKey(3))

@@ -71,8 +71,10 @@ def main():
                          focal=test.focal)
         light = test.light_locs[i]
         exp = np.clip(np.asarray(test.images[i]), 0.0, 1.0)
-        d = render(Mask(Direct(training=False)), light, cam, 1)
-        pth = render(Mask(Path(max_depth=args.max_depth, training=False)),
+        d = render(Mask(Direct(training=False, horizon_mask=True)),
+                   light, cam, 1)
+        pth = render(Mask(Path(max_depth=args.max_depth, training=False,
+                               horizon_mask=True)),
                      light, cam, args.samples)
         psnr_d = float(mse2psnr(jnp.asarray(
             max(float(np.mean((d - exp) ** 2)), 1e-10))))
