@@ -44,6 +44,16 @@ def main():
     ap.add_argument("--bsdf-lr", type=float, default=4e-5)
     ap.add_argument("--light-lr", type=float, default=4e-5)
     ap.add_argument("--dist", type=float, default=2.2)
+    ap.add_argument("--train-integrator", type=str, default="direct",
+                    choices=["direct", "path"],
+                    help="train with the single-bounce Direct (reference "
+                         "train_nerv_ptl parity) or the multi-bounce Path "
+                         "integrator (depth 2).  On interreflection-heavy "
+                         "GT a Direct-trained model absorbs the bounce "
+                         "into its materials and then DOUBLE-COUNTS under "
+                         "a Path eval (r5 mirror-GT measurement); "
+                         "training with Path keeps transport and "
+                         "materials consistent")
     ap.add_argument("--device-data", action="store_true",
                     help="on-device data path (views/crops/cameras AND "
                          "per-frame light locations sampled inside the "
@@ -76,7 +86,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from neural_raytracing_tpu.cameras import NeRFCamera
-    from neural_raytracing_tpu.integrators import Direct
+    from neural_raytracing_tpu.integrators import Direct, Path
     from neural_raytracing_tpu.training import (
         evaluate, init_train_state, load_scene, make_optimizer,
         rand_uv_mask, save_scene, train,
@@ -129,8 +139,11 @@ def main():
     metrics, flush_metrics = metrics_writer(args.outputs, f"nerv_{name}")
 
     if args.iters > 0:
+        train_integrator = (Path(max_depth=2, training=True)
+                            if args.train_integrator == "path"
+                            else Direct(training=True))
         state, _ = train(
-            scene, Direct(training=True), opt, state, make_camera,
+            scene, train_integrator, opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
             size=args.size, crop_size=args.crop_size, iters=args.iters, nan_policy=nan_policy(args),
             with_ssim=not args.no_ssim,
