@@ -36,7 +36,11 @@ def main():
 
     name = args.data.rstrip("/").split("/")[-1]
     test = load_nerv(args.data, args.size, "test")
-    scene = build_scene(max_steps=128, dist=args.dist, occlusion="hard")
+    from _common import eval_bound
+    # match nerv.py's in-script eval scene (bounded-march eval default);
+    # see RESULTS.md round 5 on toy checkpoints rendering black without it
+    scene = build_scene(max_steps=128, dist=args.dist, occlusion="hard",
+                        march_bound=eval_bound(args))
     opt = make_optimizer({"shape": 1e-4})
     params = init_train_state(scene, opt, jax.random.PRNGKey(0)).params
     params = load_scene(f"{args.models}/nerv_{name}", params)

@@ -37,8 +37,14 @@ def main():
 
     name = args.data.rstrip("/").split("/")[-1]
     test = load_nerv(args.data, args.size, "test")
+    from _common import eval_bound
+    # same eval-scene config as nerv.py's in-script test (incl. the
+    # bounded-march eval default): without the bound, toy-scale
+    # checkpoints whose field plateaus low render all-miss black here
+    # while the in-script eval is healthy (RESULTS.md round 5)
     scene = build_scene(max_steps=128, dist=args.dist,
-                        occlusion=args.shadows)
+                        occlusion=args.shadows,
+                        march_bound=eval_bound(args))
     opt = make_optimizer({"shape": 1e-4})
     params = init_train_state(scene, opt, jax.random.PRNGKey(0)).params
     params = load_scene(f"{args.models}/nerv_{name}", params)
