@@ -67,22 +67,32 @@ class HashEncoding:
         batches = p.shape[:-1]
         x = (p.reshape(-1, 3) + self.bound) / (2.0 * self.bound)  # [R,3] in [0,1]
         x = jnp.clip(x, 0.0, 1.0)
-        outs = []
         corners = jnp.asarray(
             [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
             jnp.int32)                                      # [8, 3]
-        for l, res in enumerate(self.resolutions):
-            xl = x * res
-            base = jnp.floor(xl).astype(jnp.int32)          # [R, 3]
-            frac = xl - base                                # [R, 3]
-            corner_coords = base[:, None, :] + corners      # [R, 8, 3]
-            idx = self._hash(corner_coords)                 # [R, 8]
-            feats = params["tables"][l][idx]                # [R, 8, F]
-            w = jnp.prod(jnp.where(corners[None] == 1, frac[:, None, :],
-                                   1.0 - frac[:, None, :]), axis=-1)
-            outs.append(jnp.sum(feats * w[..., None], axis=1))
-        return jnp.concatenate(outs, axis=-1).reshape(
-            batches + (self.out_size,))
+        # All levels in ONE gather (r5): a python loop over levels emits 16
+        # separate [R, 8] dynamic-gathers that serialize on the TPU's
+        # scalar/vector units — the measured reason HashSDF runs 17.6x/step
+        # at flagship scale.  Stacking the level tables as [(L*T), F] and
+        # offsetting each level's hash by l*T folds them into a single
+        # [R, L, 8] gather XLA can pipeline.  Numerics identical (same
+        # per-level hash mod T, same trilinear weights).
+        res = jnp.asarray(self.resolutions, jnp.float32)    # [L]
+        xl = x[:, None, :] * res[None, :, None]             # [R, L, 3]
+        base = jnp.floor(xl).astype(jnp.int32)              # [R, L, 3]
+        frac = xl - base                                    # [R, L, 3]
+        corner_coords = base[:, :, None, :] + corners[None, None]  # [R,L,8,3]
+        idx = self._hash(corner_coords)                     # [R, L, 8]
+        idx = idx + (jnp.arange(self.levels, dtype=jnp.uint32)
+                     * jnp.uint32(self.table_size))[None, :, None]
+        flat = params["tables"].reshape(
+            self.levels * self.table_size, self.features)
+        feats = flat[idx]                                   # [R, L, 8, F]
+        w = jnp.prod(jnp.where(corners[None, None] == 1,
+                               frac[:, :, None, :],
+                               1.0 - frac[:, :, None, :]), axis=-1)  # [R,L,8]
+        out = jnp.sum(feats * w[..., None], axis=2)         # [R, L, F]
+        return out.reshape(batches + (self.out_size,))
 
 
 class HashSDF:
