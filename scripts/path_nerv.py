@@ -20,6 +20,17 @@ def main():
     ap.add_argument("--samples", type=int, default=32)
     ap.add_argument("--max-depth", type=int, default=2)
     ap.add_argument("--dist", type=float, default=2.2)
+    ap.add_argument("--shadows", type=str, default="hard",
+                    choices=["hard", "learned", "none"],
+                    help="occlusion for the eval scene.  'hard' is the "
+                         "reference path_nerv parity default; 'learned' "
+                         "uses the model's own trained occ MLP — required "
+                         "on fields whose plate-like geometry self-blocks "
+                         "the marched shadow test (the mirror-plate GT: "
+                         "hard-shadow evals render exact black there while "
+                         "learned-occ evals are healthy, RESULTS.md r5)")
+    ap.add_argument("--out-json", type=str, default=None,
+                    help="optional JSON dump of per-view metrics")
     ap.set_defaults(size=200, iters=0)
     args = ap.parse_args()
     force_cpu_if_requested(args)
@@ -39,7 +50,8 @@ def main():
     from _common import eval_bound
     # match nerv.py's in-script eval scene (bounded-march eval default);
     # see RESULTS.md round 5 on toy checkpoints rendering black without it
-    scene = build_scene(max_steps=128, dist=args.dist, occlusion="hard",
+    scene = build_scene(max_steps=128, dist=args.dist,
+                        occlusion=args.shadows,
                         march_bound=eval_bound(args))
     opt = make_optimizer({"shape": 1e-4})
     params = init_train_state(scene, opt, jax.random.PRNGKey(0)).params
@@ -66,10 +78,19 @@ def main():
         l1s.append(float(np.mean(np.abs(got - exp))))
         l2s.append(l2)
         psnrs.append(float(mse2psnr(jnp.asarray(l2))))
-        save_image(f"{args.outputs}/path_nerv_{name}_{i:03}.png", got)
+        save_image(f"{args.outputs}/path_nerv_{name}_d{args.max_depth}"
+                   f"_{i:03}.png", got)
         print(f"view {i:3d} L1 {l1s[-1]:.5f} PSNR {psnrs[-1]:.3f}")
     print(f"avg L1 {np.mean(l1s):.5f} L2 {np.mean(l2s):.6f} "
           f"PSNR {np.mean(psnrs):.3f}")
+    if args.out_json:
+        import json
+        json.dump({"data": args.data, "samples": args.samples,
+                   "max_depth": args.max_depth, "shadows": args.shadows,
+                   "avg_l1": float(np.mean(l1s)),
+                   "avg_psnr": float(np.mean(psnrs)),
+                   "per_view_psnr": psnrs},
+                  open(args.out_json, "w"), indent=1)
 
 
 if __name__ == "__main__":
