@@ -96,7 +96,7 @@ def main():
                          "nerf_synthetic script overrides to uniform "
                          "rand_uv at :115, which suits high-coverage "
                          "scenes like lego but starves training on "
-                         "low-coverage GT: uniform 80^2 crops of a ~11%-"
+                         "low-coverage GT: uniform 80^2 crops of a ~11%%-"
                          "coverage 256^2 object collapse to black)")
     ap.add_argument("--device-data", action="store_true",
                     help="ON-DEVICE data path: upload the split once and "
@@ -110,12 +110,12 @@ def main():
                          "which it defines but never wires into training). "
                          "4x fewer min-scan rays = the largest single "
                          "block of the train step: bench 662k -> 936k "
-                         "rays/s (+41%). Training mask supervision is at "
+                         "rays/s (+41%%). Training mask supervision is at "
                          "half resolution (2x2-duplicated logits)")
     ap.add_argument("--half-res-warmup", type=int, default=0,
                     help="SCHEDULED variant of --half-res-throughput: the "
                          "first N steps run the half-res silhouette min-"
-                         "scan (+41% throughput), the remainder finishes "
+                         "scan (+41%% throughput), the remainder finishes "
                          "at full resolution so mask supervision re-"
                          "sharpens — targets the speed without the always-"
                          "on variant's -2.6 dB (r4 pricing). One extra "
