@@ -12,9 +12,11 @@ Behavioral parity with the reference's renderer layer:
 The rasterizers take a ``FoVPerspectiveCamera`` (batch size 1) and
 world-space geometry; projection happens inline (one einsum + divide),
 then the chunk-scanned top-K rasterizers in ``.rasterize`` do the work.
-``bin_size`` / ``max_points_per_bin`` knobs from the reference settings
-are accepted for signature parity but unused: the TPU design needs no
-bins (see rasterize.py docstring) — ``chunk`` bounds memory instead.
+``bin_size`` / ``max_faces_per_bin`` select the tiled coarse-to-fine
+mesh path (the binned rasterize_meshes.cu counterpart, rasterize.py);
+unset, the naive chunk scan runs and ``chunk`` bounds memory.
+``max_points_per_bin`` remains a signature-parity no-op (the point
+rasterizer stays binless).
 """
 
 from __future__ import annotations
@@ -48,13 +50,15 @@ class RasterizationSettings:
                  points_per_pixel: int = 8,
                  bin_size: Optional[int] = None,
                  max_points_per_bin: Optional[int] = None,
+                 max_faces_per_bin: Optional[int] = None,
                  chunk: int = 256):
         self.image_size = image_size
         self.blur_radius = blur_radius
         self.faces_per_pixel = faces_per_pixel
         self.points_per_pixel = points_per_pixel
-        self.bin_size = bin_size                 # parity no-op (binless)
-        self.max_points_per_bin = max_points_per_bin
+        self.bin_size = bin_size          # meshes: tiled coarse-to-fine
+        self.max_points_per_bin = max_points_per_bin  # parity no-op
+        self.max_faces_per_bin = max_faces_per_bin
         self.chunk = chunk
 
 
@@ -114,7 +118,8 @@ class MeshRasterizer:
         verts = transform_points_screen(cam, verts_world)
         return rasterize_meshes(verts, faces, s.image_size,
                                 s.blur_radius, s.faces_per_pixel,
-                                chunk=s.chunk)
+                                chunk=s.chunk, bin_size=s.bin_size,
+                                max_faces_per_bin=s.max_faces_per_bin)
 
 
 class SpheresRasterizer:

@@ -442,3 +442,88 @@ def test_pulsar_camera_grads_at_identity_rotation():
 
     g = np.asarray(jax.grad(f)(cam))
     assert np.all(np.isfinite(g))
+
+
+def _random_mesh(key, n_faces, z_lo=0.5, z_hi=4.0, spread=1.2):
+    """Random small triangles scattered over the NDC square."""
+    kc, kd, kz = jax.random.split(key, 3)
+    centers = jax.random.uniform(kc, (n_faces, 1, 2), minval=-spread,
+                                 maxval=spread)
+    deltas = jax.random.uniform(kd, (n_faces, 3, 2), minval=-0.3,
+                                maxval=0.3)
+    z = jax.random.uniform(kz, (n_faces, 3, 1), minval=z_lo, maxval=z_hi)
+    verts = jnp.concatenate([centers + deltas, z], axis=-1).reshape(-1, 3)
+    faces = jnp.arange(3 * n_faces, dtype=jnp.int32).reshape(-1, 3)
+    return verts, faces
+
+
+@pytest.mark.parametrize("blur,size,bin_size", [
+    (0.0, 32, 8),      # divisible tiles
+    (0.02, 32, 8),     # blur-region coverage crosses tile borders
+    (0.0, 30, 8),      # non-divisible image: padded tiles cropped
+    (0.01, 32, 16),
+])
+def test_rasterize_meshes_binned_matches_naive(blur, size, bin_size):
+    verts, faces = _random_mesh(jax.random.PRNGKey(3), 40)
+    naive = rasterize_meshes(verts, faces, size, blur_radius=blur,
+                             faces_per_pixel=4)
+    binned = rasterize_meshes(verts, faces, size, blur_radius=blur,
+                              faces_per_pixel=4, bin_size=bin_size,
+                              max_faces_per_bin=40)
+    np.testing.assert_array_equal(np.asarray(naive.idx),
+                                  np.asarray(binned.idx))
+    np.testing.assert_allclose(np.asarray(naive.zbuf),
+                               np.asarray(binned.zbuf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(naive.dists),
+                               np.asarray(binned.dists), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(naive.bary),
+                               np.asarray(binned.bary), atol=1e-6)
+
+
+def test_rasterize_meshes_binned_backface_cull_matches():
+    verts, faces = _random_mesh(jax.random.PRNGKey(5), 24)
+    kw = dict(image_size=16, faces_per_pixel=3, cull_backfaces=True)
+    naive = rasterize_meshes(verts, faces, **kw)
+    binned = rasterize_meshes(verts, faces, bin_size=8,
+                              max_faces_per_bin=24, **kw)
+    np.testing.assert_array_equal(np.asarray(naive.idx),
+                                  np.asarray(binned.idx))
+
+
+def test_rasterize_meshes_binned_overflow_drops_late_faces():
+    # two co-located triangles; capacity 1 keeps only the FIRST face id
+    # (reference bin-overflow semantics: later faces are dropped)
+    verts = jnp.array([[-2.0, -2.0, 2.0], [3.0, 0.0, 2.0], [0.0, 3.0, 2.0],
+                       [-2.0, -2.0, 1.0], [3.0, 0.0, 1.0], [0.0, 3.0, 1.0]])
+    faces = jnp.array([[0, 1, 2], [3, 4, 5]])
+    frags = rasterize_meshes(verts, faces, 8, faces_per_pixel=2,
+                             bin_size=4, max_faces_per_bin=1)
+    assert frags.idx[4, 4, 0] == 0          # face 1 (closer) was dropped
+    assert frags.idx[4, 4, 1] == -1
+
+
+def test_rasterize_meshes_binned_grads_match_naive():
+    verts, faces = _random_mesh(jax.random.PRNGKey(7), 12)
+
+    def total_z(v, **kw):
+        fr = rasterize_meshes(v, faces, 16, faces_per_pixel=2, **kw)
+        return jnp.sum(jnp.where(fr.idx >= 0, fr.zbuf, 0.0))
+
+    g_naive = jax.grad(total_z)(verts)
+    g_binned = jax.grad(lambda v: total_z(v, bin_size=8,
+                                          max_faces_per_bin=12))(verts)
+    np.testing.assert_allclose(np.asarray(g_naive), np.asarray(g_binned),
+                               atol=1e-5)
+
+
+def test_mesh_rasterizer_binned_settings_plumbed():
+    verts, faces = _random_mesh(jax.random.PRNGKey(9), 10)
+    r, t = look_at_view_transform(dist=3.0, elev=10.0, azim=20.0)
+    cam = FoVPerspectiveCamera(R=r, T=t)
+    world = verts * 0.2
+    naive = MeshRasterizer(cam, RasterizationSettings(image_size=16))(
+        world, faces)
+    binned = MeshRasterizer(cam, RasterizationSettings(
+        image_size=16, bin_size=8, max_faces_per_bin=10))(world, faces)
+    np.testing.assert_array_equal(np.asarray(naive.idx),
+                                  np.asarray(binned.idx))
