@@ -50,6 +50,7 @@ def build_step_fn(scene: Scene, integrator, optimizer, *, size: int,
                   mask_weight: float = 15.0, tone_mapping: bool = False,
                   with_ssim: bool = True, with_noise=False,
                   extra_loss: Callable = default_extra_loss,
+                  space_reg: Optional[Callable] = None,
                   n_real_views: Optional[int] = None,
                   skip_nan_updates: bool = False):
     """The un-jitted ``(state, camera, uv, exp, mask, key) -> (state, aux)``.
@@ -61,6 +62,12 @@ def build_step_fn(scene: Scene, integrator, optimizer, *, size: int,
     multiple (parallel.pad_batch), the loss — including extra_loss — runs
     on the first ``n_real_views`` views only, so padded views contribute
     zero gradient and the step exactly matches its unsharded counterpart.
+
+    ``space_reg(params, key) -> scalar``: an optional volumetric
+    regularizer sampled at fresh random points each step (e.g. the
+    full-space eikonal term the reference's nerv.py:110 leaves as a TODO
+    — the at-hit eikonal in ``extra_loss`` goes silent exactly when the
+    field degenerates and nothing hits).
     """
     import optax
 
@@ -74,7 +81,13 @@ def build_step_fn(scene: Scene, integrator, optimizer, *, size: int,
             tree)
 
     def loss_fn(params, camera, uv, exp, mask, key):
-        ckey, ikey = jax.random.split(key)
+        if space_reg is None:
+            ckey, ikey = jax.random.split(key)
+            rkey = None
+        else:
+            # 3-way split ONLY when the volumetric term is on, so existing
+            # runs/tests keep their exact PRNG streams
+            ckey, ikey, rkey = jax.random.split(key, 3)
         positions = _tile_positions(uv[0], uv[1], crop_size)
         rays = camera.sample_positions(positions, key=ckey,
                                        bundle_size=bundle_size, size=size,
@@ -93,6 +106,8 @@ def build_step_fn(scene: Scene, integrator, optimizer, *, size: int,
                            mask_weight=mask_weight,
                            tone_mapping=tone_mapping, with_ssim=with_ssim)
         loss = loss + extra_loss(it, got, exp, mask)
+        if space_reg is not None:
+            loss = loss + space_reg(params, rkey)
         return loss, (got, it)
 
     def step(state: TrainState, camera, uv, exp, mask, key):
@@ -261,6 +276,7 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
           bundle_size: int = 1, mask_weight: float = 15.0,
           tone_mapping: bool = False, with_ssim: bool = True,
           extra_loss: Callable = default_extra_loss,
+          space_reg: Optional[Callable] = None,
           light_update: Optional[Callable] = None,
           save_fn: Optional[Callable] = None, ckpt_freq: int = 0,
           valid_freq: int = 0, valid_fn: Optional[Callable] = None,
@@ -312,7 +328,8 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
             with_light_locs="light_locs" in device_data,
             bundle_size=bundle_size, mask_weight=mask_weight,
             tone_mapping=tone_mapping, with_ssim=with_ssim,
-            extra_loss=extra_loss, skip_nan_updates=skip_nan, donate=False)
+            extra_loss=extra_loss, space_reg=space_reg,
+            skip_nan_updates=skip_nan, donate=False)
         losses = []
         t0 = time.time()
         rays_per_step = n_views * crop_size * crop_size * bundle_size
@@ -361,14 +378,15 @@ def train(scene: Scene, integrator, optimizer, state: TrainState,
                 size=size, crop_size=crop_size, bundle_size=bundle_size,
                 mask_weight=mask_weight, tone_mapping=tone_mapping,
                 with_ssim=with_ssim, extra_loss=extra_loss,
-                skip_nan_updates=skip_nan)
+                space_reg=space_reg, skip_nan_updates=skip_nan)
             state = replicate(state, mesh)
         else:
             step_fn = make_train_step(
                 scene, integrator, optimizer, size=size, crop_size=crop_size,
                 bundle_size=bundle_size, mask_weight=mask_weight,
                 tone_mapping=tone_mapping, with_ssim=with_ssim,
-                extra_loss=extra_loss, skip_nan_updates=skip_nan)
+                extra_loss=extra_loss, space_reg=space_reg,
+                skip_nan_updates=skip_nan)
 
     selector = LossSampler(len(exp_imgs))
     rng = np.random.default_rng(seed)

@@ -61,6 +61,18 @@ def main():
     ap.add_argument("--stable-min", action="store_true",
                     help="exact logsumexp smooth-min (marchable far "
                          "field; divergence from the reference clamp)")
+    ap.add_argument("--space-eikonal", type=float, default=0.0,
+                    help="weight of a FULL-SPACE eikonal term (|grad f|-1)^2 "
+                         "at 1024 fresh uniform points in [-1.25,1.25]^3 per "
+                         "step — the reference's own nerv.py:110 TODO "
+                         "('might need to add in something for eikonal loss "
+                         "over all space').  The default at-hit eikonal goes "
+                         "silent exactly when the field collapses to an "
+                         "unmarchable near-zero fog (r5 mirror-GT run: "
+                         "max SDF 0.005 everywhere, all evals black while "
+                         "the min-scan silhouette kept training alive); this "
+                         "term restores unit gradients everywhere the march "
+                         "must traverse.  0 = off (reference parity)")
     ap.add_argument("--no-calibrate-exposure", action="store_true",
                     help="disable the one-shot light-scale exposure "
                          "calibration at init.  PointLights radiance is "
@@ -142,6 +154,17 @@ def main():
         train_integrator = (Path(max_depth=2, training=True)
                             if args.train_integrator == "path"
                             else Direct(training=True))
+        space_reg = None
+        if args.space_eikonal > 0:
+            from neural_raytracing_tpu.ops.math import eikonal_loss
+
+            def space_reg(params, key):
+                pts = jax.random.uniform(key, (1024, 3),
+                                         minval=-1.25, maxval=1.25)
+                f = lambda p: scene.shape.sdf(params["shape"], p[None])[0]
+                grads = jax.vmap(jax.grad(f))(pts)
+                return args.space_eikonal * eikonal_loss(grads)
+
         state, _ = train(
             scene, train_integrator, opt, state, make_camera,
             data.images, data.masks, jax.random.PRNGKey(args.seed + 1),
@@ -150,6 +173,7 @@ def main():
             # mask-centered crops: the reference train_nerv_ptl default
             # (training_utils.py:706 rand_uv_mask)
             uv_select=rand_uv_mask,
+            space_reg=space_reg,
             n_views=args.n_views, tone_mapping=True,
             light_update=light_update, log_every=args.log_every,
             device_data=device_data, camera_builder=camera_builder,

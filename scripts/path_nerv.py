@@ -31,6 +31,11 @@ def main():
                          "learned-occ evals are healthy, RESULTS.md r5)")
     ap.add_argument("--out-json", type=str, default=None,
                     help="optional JSON dump of per-view metrics")
+    ap.add_argument("--stable-min", action="store_true",
+                    help="build the eval scene with the logsumexp "
+                         "smooth-min — REQUIRED when evaluating a model "
+                         "trained with nerv.py --stable-min (the min op is "
+                         "part of the field, not the checkpoint)")
     ap.set_defaults(size=200, iters=0)
     args = ap.parse_args()
     force_cpu_if_requested(args)
@@ -52,6 +57,7 @@ def main():
     # see RESULTS.md round 5 on toy checkpoints rendering black without it
     scene = build_scene(max_steps=128, dist=args.dist,
                         occlusion=args.shadows,
+                        stable_min=args.stable_min,
                         march_bound=eval_bound(args))
     opt = make_optimizer({"shape": 1e-4})
     params = init_train_state(scene, opt, jax.random.PRNGKey(0)).params

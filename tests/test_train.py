@@ -592,3 +592,45 @@ def test_metrics_use_global_step_across_segments(gt_data):
     steps = [m["step"] for m in metrics if "loss" in m]
     assert steps == list(range(6)), steps
     assert int(state.step) == 6
+
+
+def test_space_reg_volumetric_eikonal(gt_data):
+    """space_reg hook: a full-space eikonal term (the reference's
+    nerv.py:110 TODO) is added to the loss and moves the SHAPE params
+    differently from the hookless step — the at-hit eikonal alone goes
+    silent when nothing hits (the r5 mirror field-collapse mechanism)."""
+    import optax
+
+    from neural_raytracing_tpu.ops.math import eikonal_loss
+    from neural_raytracing_tpu.training import init_train_state
+    from neural_raytracing_tpu.training.loop import build_step_fn
+
+    imgs, masks, cams = gt_data
+    scene = nrt.Scene(shape=small_sdf(), bsdf=Diffuse(),
+                      lights=PointLights(location=(0.0, 1.0, 4.0),
+                                         scale=50.0))
+    opt = optax.adamw(1e-3)
+    state = init_train_state(scene, opt, jax.random.PRNGKey(0))
+
+    def space_reg(params, key):
+        pts = jax.random.uniform(key, (64, 3), minval=-1.25, maxval=1.25)
+        f = lambda p: scene.shape.sdf(params["shape"], p[None])[0]
+        return eikonal_loss(jax.vmap(jax.grad(f))(pts))
+
+    common = dict(size=SIZE, crop_size=8)
+    step_plain = jax.jit(build_step_fn(scene, Direct(training=True), opt,
+                                       **common))
+    step_reg = jax.jit(build_step_fn(scene, Direct(training=True), opt,
+                                     space_reg=space_reg, **common))
+    cam = FoVPerspectiveCamera(R=cams.R[:1], T=cams.T[:1])
+    uv = (jnp.float32(4), jnp.float32(4))
+    exp = jnp.asarray(imgs[:1, 4:12, 4:12])
+    mask = jnp.asarray(masks[:1, 4:12, 4:12])
+    key = jax.random.PRNGKey(3)
+
+    plain, aux_plain = step_plain(state, cam, uv, exp, mask, key)
+    reg, aux_reg = step_reg(state, cam, uv, exp, mask, key)
+    assert np.isfinite(float(aux_reg["loss"]))
+    d = jax.tree_util.tree_map(lambda a, b: float(jnp.abs(a - b).sum()),
+                               reg.params["shape"], plain.params["shape"])
+    assert sum(jax.tree_util.tree_leaves(d)) > 0
