@@ -73,6 +73,22 @@ def main():
                          "the min-scan silhouette kept training alive); this "
                          "term restores unit gradients everywhere the march "
                          "must traverse.  0 = off (reference parity)")
+    ap.add_argument("--space-repulsion", type=float, default=0.0,
+                    help="weight of an IGR/SAL-style off-surface repulsion "
+                         "term mean(exp(-alpha*|f|)) at the same 1024 "
+                         "uniform points as --space-eikonal.  Measured r5: "
+                         "the eikonal alone (weight 1.0, ~3%% of the 10-47 "
+                         "photometric loss) cannot escape the mirror-GT fog "
+                         "basin — the smooth-min of 128 spheres reads "
+                         "~0.002 EVERYWHERE with gradient norm ~0.04 (many "
+                         "near-unit sphere gradients cancelling), which "
+                         "satisfies the silhouette min-scan while the march "
+                         "stalls.  This term pushes free-space |f| up "
+                         "directly so free space is actually free.  "
+                         "0 = off (reference parity)")
+    ap.add_argument("--repulsion-alpha", type=float, default=100.0,
+                    help="sharpness alpha of exp(-alpha*|f|) in "
+                         "--space-repulsion (IGR's 100)")
     ap.add_argument("--no-calibrate-exposure", action="store_true",
                     help="disable the one-shot light-scale exposure "
                          "calibration at init.  PointLights radiance is "
@@ -155,15 +171,21 @@ def main():
                             if args.train_integrator == "path"
                             else Direct(training=True))
         space_reg = None
-        if args.space_eikonal > 0:
+        if args.space_eikonal > 0 or args.space_repulsion > 0:
             from neural_raytracing_tpu.ops.math import eikonal_loss
 
             def space_reg(params, key):
                 pts = jax.random.uniform(key, (1024, 3),
                                          minval=-1.25, maxval=1.25)
                 f = lambda p: scene.shape.sdf(params["shape"], p[None])[0]
-                grads = jax.vmap(jax.grad(f))(pts)
-                return args.space_eikonal * eikonal_loss(grads)
+                vals, grads = jax.vmap(jax.value_and_grad(f))(pts)
+                reg = 0.0
+                if args.space_eikonal > 0:
+                    reg = reg + args.space_eikonal * eikonal_loss(grads)
+                if args.space_repulsion > 0:
+                    reg = reg + args.space_repulsion * jnp.mean(
+                        jnp.exp(-args.repulsion_alpha * jnp.abs(vals)))
+                return reg
 
         state, _ = train(
             scene, train_integrator, opt, state, make_camera,
