@@ -34,7 +34,9 @@ class HashEncoding:
 
     def __init__(self, levels: int = 8, table_size_log2: int = 14,
                  features: int = 2, base_resolution: int = 16,
-                 max_resolution: int = 512, bound: float = 2.0):
+                 max_resolution: int = 512, bound: float = 2.0,
+                 stacked: bool = False):
+        self.stacked = stacked
         self.levels = levels
         self.table_size = 2 ** table_size_log2
         self.features = features
@@ -70,29 +72,47 @@ class HashEncoding:
         corners = jnp.asarray(
             [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
             jnp.int32)                                      # [8, 3]
-        # All levels in ONE gather (r5): a python loop over levels emits 16
-        # separate [R, 8] dynamic-gathers that serialize on the TPU's
-        # scalar/vector units — the measured reason HashSDF runs 17.6x/step
-        # at flagship scale.  Stacking the level tables as [(L*T), F] and
-        # offsetting each level's hash by l*T folds them into a single
-        # [R, L, 8] gather XLA can pipeline.  Numerics identical (same
-        # per-level hash mod T, same trilinear weights).
-        res = jnp.asarray(self.resolutions, jnp.float32)    # [L]
-        xl = x[:, None, :] * res[None, :, None]             # [R, L, 3]
-        base = jnp.floor(xl).astype(jnp.int32)              # [R, L, 3]
-        frac = xl - base                                    # [R, L, 3]
-        corner_coords = base[:, :, None, :] + corners[None, None]  # [R,L,8,3]
-        idx = self._hash(corner_coords)                     # [R, L, 8]
-        idx = idx + (jnp.arange(self.levels, dtype=jnp.uint32)
-                     * jnp.uint32(self.table_size))[None, :, None]
-        flat = params["tables"].reshape(
-            self.levels * self.table_size, self.features)
-        feats = flat[idx]                                   # [R, L, 8, F]
-        w = jnp.prod(jnp.where(corners[None, None] == 1,
-                               frac[:, :, None, :],
-                               1.0 - frac[:, :, None, :]), axis=-1)  # [R,L,8]
-        out = jnp.sum(feats * w[..., None], axis=2)         # [R, L, F]
-        return out.reshape(batches + (self.out_size,))
+        if self.stacked:
+            # All levels in ONE gather: stack the level tables as
+            # [(L*T), F], offset each level's hash by l*T, and fold the
+            # lookup into a single [R, L, 8] gather.  Numerics identical
+            # to the per-level loop (same hash mod T, same trilinear
+            # weights).  MEASURED SLOWER on TPU v5e at flagship scale
+            # (5.67 vs 1.62 s/step on the 38,400-ray hash train step,
+            # r5 hash_time_q2 vs arm_hash logs): the one gather indexes a
+            # 16x-larger table, defeating whatever table locality the 16
+            # small gathers had, and the [R, L, 8, 3] index math is not
+            # where the time was.  Kept opt-in for documentation.
+            res = jnp.asarray(self.resolutions, jnp.float32)    # [L]
+            xl = x[:, None, :] * res[None, :, None]             # [R, L, 3]
+            base = jnp.floor(xl).astype(jnp.int32)              # [R, L, 3]
+            frac = xl - base                                    # [R, L, 3]
+            corner_coords = base[:, :, None, :] + corners[None, None]
+            idx = self._hash(corner_coords)                     # [R, L, 8]
+            idx = idx + (jnp.arange(self.levels, dtype=jnp.uint32)
+                         * jnp.uint32(self.table_size))[None, :, None]
+            flat = params["tables"].reshape(
+                self.levels * self.table_size, self.features)
+            feats = flat[idx]                                   # [R, L, 8, F]
+            w = jnp.prod(jnp.where(corners[None, None] == 1,
+                                   frac[:, :, None, :],
+                                   1.0 - frac[:, :, None, :]),
+                         axis=-1)                               # [R, L, 8]
+            out = jnp.sum(feats * w[..., None], axis=2)         # [R, L, F]
+            return out.reshape(batches + (self.out_size,))
+        outs = []
+        for l, res in enumerate(self.resolutions):
+            xl = x * res
+            base = jnp.floor(xl).astype(jnp.int32)          # [R, 3]
+            frac = xl - base                                # [R, 3]
+            corner_coords = base[:, None, :] + corners      # [R, 8, 3]
+            idx = self._hash(corner_coords)                 # [R, 8]
+            feats = params["tables"][l][idx]                # [R, 8, F]
+            w = jnp.prod(jnp.where(corners[None] == 1, frac[:, None, :],
+                                   1.0 - frac[:, None, :]), axis=-1)
+            outs.append(jnp.sum(feats * w[..., None], axis=1))
+        return jnp.concatenate(outs, axis=-1).reshape(
+            batches + (self.out_size,))
 
 
 class HashSDF:

@@ -180,6 +180,24 @@ class TestHashEncoding:
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
                                    atol=1e-3)
 
+    def test_stacked_gather_matches_per_level_loop(self):
+        # the stacked single-gather variant (opt-in; measured slower on
+        # TPU at flagship scale, r5) must stay numerically identical to
+        # the default per-level loop, gradients included
+        from neural_raytracing_tpu.nn.hash_encoding import HashEncoding
+        kw = dict(levels=4, table_size_log2=10, features=2,
+                  base_resolution=4, max_resolution=32, bound=1.0)
+        loop, stacked = HashEncoding(**kw), HashEncoding(stacked=True, **kw)
+        params = loop.init(jax.random.PRNGKey(0))
+        p = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                               minval=-1, maxval=1)
+        np.testing.assert_array_equal(np.asarray(loop(params, p)),
+                                      np.asarray(stacked(params, p)))
+        g1 = jax.grad(lambda pr: jnp.sum(loop(pr, p) ** 2))(params)
+        g2 = jax.grad(lambda pr: jnp.sum(stacked(pr, p) ** 2))(params)
+        np.testing.assert_allclose(np.asarray(g1["tables"]),
+                                   np.asarray(g2["tables"]), atol=1e-7)
+
     def test_hash_sdf_starts_as_sphere(self):
         from neural_raytracing_tpu.nn.hash_encoding import HashSDF
         sdf = HashSDF(init_sphere_radius=0.5)
