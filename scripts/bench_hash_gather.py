@@ -45,6 +45,10 @@ def main():
         params = enc.init(jax.random.PRNGKey(0))
 
         def loss(prm, pts):
+            # remat per step: 96 chained evals' saved gathers OOM a v5e
+            # otherwise (the march itself runs under stop_gradient, so
+            # the real workload never stores them either)
+            @jax.checkpoint
             def body(carry, _):
                 out = enc(prm, carry)
                 # feed a (rays,3) slice back in so the evals CHAIN (no

@@ -89,6 +89,11 @@ def main():
     ap.add_argument("--repulsion-alpha", type=float, default=100.0,
                     help="sharpness alpha of exp(-alpha*|f|) in "
                          "--space-repulsion (IGR's 100)")
+    ap.add_argument("--calibrate-exposure", action="store_true",
+                    help="force the exposure calibration even with --load "
+                         "(default: --load skips it).  Geometry-seeded runs "
+                         "(seed_shape.py) load a fitted shape but FRESH "
+                         "lights, so the scale is uncalibrated")
     ap.add_argument("--no-calibrate-exposure", action="store_true",
                     help="disable the one-shot light-scale exposure "
                          "calibration at init.  PointLights radiance is "
@@ -155,7 +160,7 @@ def main():
                                               focal=data.focal)
 
     if (args.iters > 0 and not args.no_calibrate_exposure
-            and not args.load):
+            and (args.calibrate_exposure or not args.load)):
         # one-shot exposure init: see training/calibrate.py for why AdamW
         # cannot recover a bad init light scale on its own
         from neural_raytracing_tpu.training import calibrate_exposure
