@@ -57,18 +57,29 @@ def main():
             _, sums = jax.lax.scan(body, pts, None, length=args.steps)
             return jnp.sum(sums)
 
-        step = jax.jit(jax.value_and_grad(loss))
-        v, g = step(params, p)          # compile
-        float(np.asarray(v))            # host-transfer sync
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            v, g = step(params, p)
-        float(np.asarray(v)) + float(np.asarray(
-            jax.tree_util.tree_leaves(g)[0].ravel()[0]))
-        dt = (time.perf_counter() - t0) / args.reps
-        per_eval = dt / args.steps * 1e3
-        print(f"{name:8s} {dt*1e3:8.2f} ms/call  {per_eval:6.3f} ms/eval "
-              f"({args.rays} rays x {args.steps} chained evals, fwd+bwd)")
+        # fwd+bwd (shading-style: gather fwd + scatter-add table grads)
+        # vs fwd-only (march-style: the 96 in-march evals run under
+        # stop_gradient in the real workload) — separates "gather is
+        # slow" from "the scatter-add backward is slow" on this chip.
+        arms = (("fwd+bwd", jax.jit(jax.value_and_grad(loss))),
+                ("fwd", jax.jit(loss)))
+        for arm, step in arms:
+            out = step(params, p)       # compile
+            v = out[0] if isinstance(out, tuple) else out
+            float(np.asarray(v))        # host-transfer sync
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                out = step(params, p)
+            v = out[0] if isinstance(out, tuple) else out
+            float(np.asarray(v))
+            if isinstance(out, tuple):
+                float(np.asarray(
+                    jax.tree_util.tree_leaves(out[1])[0].ravel()[0]))
+            dt = (time.perf_counter() - t0) / args.reps
+            per_eval = dt / args.steps * 1e3
+            print(f"{name:8s} {dt*1e3:8.2f} ms/call  {per_eval:6.3f} "
+                  f"ms/eval ({args.rays} rays x {args.steps} chained "
+                  f"evals, {arm})")
 
 
 if __name__ == "__main__":
